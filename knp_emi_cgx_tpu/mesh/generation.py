@@ -1,0 +1,270 @@
+"""Host-side simplicial mesh generation and tagging (numpy).
+
+This module is the TPU-framework's equivalent of the reference's mesh layer
+(DOLFINx `create_unit_square`/`create_unit_cube` plus the subdomain/boundary
+marker functions in CGx `utils/misc.py:99-504` and the CLI generator
+`utils/generate_square_mesh.py`).  Meshes are plain numpy structures; all
+device-side data is derived from them once and stays static for the whole
+simulation (static sparsity, static shapes — XLA-friendly).
+
+Tag conventions replicated from the reference:
+  unit square / cube with inner box [0.25, 0.75]^d:
+    cell tags:  1 = inner box (intracellular), 2 = outer region (extracellular)
+    facet tags: 3 = exterior boundary, 4 = membrane interface Γ, 5 = other
+  MMS variant boundary tags (misc.py:197-254, 400-504):
+    2D: membrane planes left/right/bottom/top = 1/2/3/4, interior 7, boundary 8
+    3D: left/right/front/back/bottom/top = 1/2/3/4/5/6, interior 7, boundary 8
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SimplexMesh:
+    """An unstructured simplicial mesh with cell and facet tags.
+
+    points     : [n_points, dim] float64 vertex coordinates
+    cells      : [n_cells, dim+1] int32 vertex indices
+    cell_tags  : [n_cells] int32 subdomain markers
+    facet_tags : optional dict built later by `build_topology` or markers
+    """
+
+    points: np.ndarray
+    cells: np.ndarray
+    cell_tags: np.ndarray | None = None
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    def scaled(self, factor: float) -> "SimplexMesh":
+        """Return a copy with coordinates scaled by `factor`
+        (the reference's `mesh_conversion_factor`, mixed_dim_problem.py:681)."""
+        return dataclasses.replace(self, points=self.points * factor)
+
+
+# ---------------------------------------------------------------------------
+# Structured generators
+# ---------------------------------------------------------------------------
+
+def unit_square_mesh(nx: int, ny: int | None = None, diagonal: str = "right") -> SimplexMesh:
+    """Uniform triangulation of the unit square.
+
+    `diagonal="right"` splits each grid square along the bottom-left →
+    top-right diagonal ("/"), `"left"` along bottom-right → top-left ("\\").
+    The "right" layout matches DOLFINx's default for `create_unit_square`.
+    """
+    if ny is None:
+        ny = nx
+    xs = np.linspace(0.0, 1.0, nx + 1)
+    ys = np.linspace(0.0, 1.0, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    # Vertex v(ix, iy) = iy*(nx+1) + ix
+    points = np.column_stack([X.ravel(), Y.ravel()])
+
+    ix, iy = np.meshgrid(np.arange(nx), np.arange(ny), indexing="xy")
+    v0 = (iy * (nx + 1) + ix).ravel()
+    v1 = v0 + 1
+    v2 = v0 + (nx + 1)
+    v3 = v1 + (nx + 1)
+    if diagonal == "right":
+        cells = np.concatenate(
+            [np.column_stack([v0, v1, v3]), np.column_stack([v0, v2, v3])], axis=0
+        )
+    elif diagonal == "left":
+        cells = np.concatenate(
+            [np.column_stack([v0, v1, v2]), np.column_stack([v1, v2, v3])], axis=0
+        )
+    else:
+        raise ValueError(f"Unknown diagonal type: {diagonal}")
+    return SimplexMesh(points=points.astype(np.float64), cells=cells.astype(np.int32))
+
+
+def unit_cube_mesh(nx: int, ny: int | None = None, nz: int | None = None) -> SimplexMesh:
+    """Uniform tetrahedralisation of the unit cube (6 tets per hex cell)."""
+    if ny is None:
+        ny = nx
+    if nz is None:
+        nz = nx
+    xs = np.linspace(0.0, 1.0, nx + 1)
+    ys = np.linspace(0.0, 1.0, ny + 1)
+    zs = np.linspace(0.0, 1.0, nz + 1)
+    # Vertex v(ix, iy, iz) = (iz*(ny+1) + iy)*(nx+1) + ix
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    points = np.column_stack([X.ravel(), Y.ravel(), Z.ravel()])
+
+    ix, iy, iz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    ix, iy, iz = ix.ravel(), iy.ravel(), iz.ravel()
+    sx, sy = nx + 1, (nx + 1) * (ny + 1)
+    v0 = iz * sy + iy * sx + ix
+    v1 = v0 + 1
+    v2 = v0 + sx
+    v3 = v2 + 1
+    v4 = v0 + sy
+    v5 = v4 + 1
+    v6 = v4 + sx
+    v7 = v6 + 1
+    # Kuhn split of the hexahedron into six tetrahedra sharing diagonal v0-v7.
+    tets = [
+        (v0, v1, v3, v7),
+        (v0, v1, v5, v7),
+        (v0, v2, v3, v7),
+        (v0, v2, v6, v7),
+        (v0, v4, v5, v7),
+        (v0, v4, v6, v7),
+    ]
+    cells = np.concatenate([np.column_stack(t) for t in tets], axis=0)
+    return SimplexMesh(points=points.astype(np.float64), cells=cells.astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Subdomain / boundary markers (replicating CGx utils/misc.py conventions)
+# ---------------------------------------------------------------------------
+
+def _inside_box(x: np.ndarray, lo: float = 0.25, hi: float = 0.75) -> np.ndarray:
+    """True for points inside [lo, hi]^dim (all coordinates)."""
+    ok = np.ones(x.shape[0], dtype=bool)
+    for d in range(x.shape[1]):
+        ok &= (x[:, d] >= lo - 1e-12) & (x[:, d] <= hi + 1e-12)
+    return ok
+
+
+def mark_subdomains_square(mesh: SimplexMesh, intra: int = 1, extra: int = 2) -> np.ndarray:
+    """Cell tags: `intra` where ALL cell vertices lie in [0.25,0.75]^2, else
+    `extra` (matches dolfinx.mesh.locate_entities semantics used at
+    misc.py:99-135: an entity is located iff all its vertices satisfy the
+    locator)."""
+    verts_inside = _inside_box(mesh.points)
+    cell_inside = verts_inside[mesh.cells].all(axis=1)
+    tags = np.full(mesh.num_cells, extra, dtype=np.int32)
+    tags[cell_inside] = intra
+    return tags
+
+
+mark_subdomains_cube = mark_subdomains_square  # same rule in 3D (misc.py:256-297)
+
+
+def _facet_midplane_masks_2d(fp: np.ndarray):
+    """Facet classification helpers for the [0.25,0.75]^2 interface.
+    fp: [n_facets, 2 verts, 2 coords]."""
+    def on_plane(axis, value):
+        coords = fp[:, :, axis]
+        other = fp[:, :, 1 - axis]
+        on = np.isclose(coords, value).all(axis=1)
+        in_range = ((other >= 0.25 - 1e-12) & (other <= 0.75 + 1e-12)).all(axis=1)
+        return on & in_range
+
+    return {
+        "left": on_plane(0, 0.25),
+        "right": on_plane(0, 0.75),
+        "bottom": on_plane(1, 0.25),
+        "top": on_plane(1, 0.75),
+    }
+
+
+def _facet_midplane_masks_3d(fp: np.ndarray):
+    """fp: [n_facets, 3 verts, 3 coords]."""
+    def on_plane(axis, value):
+        coords = fp[:, :, axis]
+        on = np.isclose(coords, value).all(axis=1)
+        in_range = np.ones(fp.shape[0], dtype=bool)
+        for other_axis in range(3):
+            if other_axis == axis:
+                continue
+            oc = fp[:, :, other_axis]
+            in_range &= ((oc >= 0.25 - 1e-12) & (oc <= 0.75 + 1e-12)).all(axis=1)
+        return on & in_range
+
+    return {
+        "left": on_plane(0, 0.25),
+        "right": on_plane(0, 0.75),
+        "front": on_plane(1, 0.25),
+        "back": on_plane(1, 0.75),
+        "bottom": on_plane(2, 0.25),
+        "top": on_plane(2, 0.75),
+    }
+
+
+def mark_boundaries_square(mesh: SimplexMesh, facets: np.ndarray,
+                           exterior_mask: np.ndarray) -> np.ndarray:
+    """Facet tags for the physical square problem (misc.py:137-195):
+    3 = exterior boundary, 4 = membrane Γ, 5 = other interior facets."""
+    fp = mesh.points[facets]  # [n_facets, 2, 2]
+    tags = np.full(facets.shape[0], 5, dtype=np.int32)
+    tags[exterior_mask] = 3
+    masks = _facet_midplane_masks_2d(fp)
+    gamma = masks["left"] | masks["right"] | masks["bottom"] | masks["top"]
+    tags[gamma] = 4
+    return tags
+
+
+def mark_boundaries_cube(mesh: SimplexMesh, facets: np.ndarray,
+                         exterior_mask: np.ndarray) -> np.ndarray:
+    """3D physical variant (misc.py:299-398): 3 = boundary, 4 = Γ, 5 = other."""
+    fp = mesh.points[facets]
+    tags = np.full(facets.shape[0], 5, dtype=np.int32)
+    tags[exterior_mask] = 3
+    masks = _facet_midplane_masks_3d(fp)
+    gamma = np.zeros(facets.shape[0], dtype=bool)
+    for m in masks.values():
+        gamma |= m
+    tags[gamma] = 4
+    return tags
+
+
+def mark_boundaries_square_mms(mesh: SimplexMesh, facets: np.ndarray,
+                               exterior_mask: np.ndarray) -> np.ndarray:
+    """MMS variant (misc.py:197-254): per-plane membrane tags
+    left/right/bottom/top = 1/2/3/4; interior 7, exterior boundary 8."""
+    fp = mesh.points[facets]
+    tags = np.full(facets.shape[0], 7, dtype=np.int32)
+    tags[exterior_mask] = 8
+    masks = _facet_midplane_masks_2d(fp)
+    for name, tag in (("left", 1), ("right", 2), ("bottom", 3), ("top", 4)):
+        tags[masks[name]] = tag
+    return tags
+
+
+def mark_boundaries_cube_mms(mesh: SimplexMesh, facets: np.ndarray,
+                             exterior_mask: np.ndarray) -> np.ndarray:
+    """MMS variant (misc.py:400-504): left/right/front/back/bottom/top =
+    1/2/3/4/5/6; interior 7, boundary 8."""
+    fp = mesh.points[facets]
+    tags = np.full(facets.shape[0], 7, dtype=np.int32)
+    tags[exterior_mask] = 8
+    masks = _facet_midplane_masks_3d(fp)
+    for name, tag in (("left", 1), ("right", 2), ("front", 3),
+                      ("back", 4), ("bottom", 5), ("top", 6)):
+        tags[masks[name]] = tag
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Complete tagged geometries (mesh + cell tags + facet tagger)
+# ---------------------------------------------------------------------------
+
+def generate_square_geometry(n: int, diagonal: str = "right", mms: bool = False):
+    """Unit square with the inner box tagged; returns (mesh, facet_tagger).
+    The facet tagger is applied by `build_topology` once facets exist."""
+    mesh = unit_square_mesh(n, n, diagonal=diagonal)
+    mesh.cell_tags = mark_subdomains_square(mesh)
+    tagger = mark_boundaries_square_mms if mms else mark_boundaries_square
+    return mesh, tagger
+
+
+def generate_cube_geometry(n: int, mms: bool = False):
+    mesh = unit_cube_mesh(n, n, n)
+    mesh.cell_tags = mark_subdomains_cube(mesh)
+    tagger = mark_boundaries_cube_mms if mms else mark_boundaries_cube
+    return mesh, tagger

@@ -1,0 +1,337 @@
+"""KNP-EMI problem and solver — the user-facing API.
+
+Mirrors the reference's `ProblemKNPEMI` (KNPEMIx_problem.py) and
+`SolverKNPEMI` (KNPEMIx_solver.py) workflow:
+
+    problem = ProblemKNPEMI(config)          # mesh, spaces, constants, BCs
+    problem.init_ionic_models([HH, ATP, NeuronalCT])
+    solver  = SolverKNPEMI(problem, solver_config)
+    solver.solve()
+
+but the whole timestep — gating ODE sweep, operator/RHS re-assembly, linear
+solve, field scatter — is ONE jitted function over an HBM-resident state
+pytree.  I/O (point traces, checkpoints, norms) happens outside the jit on a
+configurable cadence.
+"""
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from knp_emi_cgx_tpu.config import SimulationConfig, load_config
+from knp_emi_cgx_tpu.mesh.generation import SimplexMesh
+from knp_emi_cgx_tpu.mesh.topology import MeshTopology, build_topology
+from knp_emi_cgx_tpu.models.gating import rush_larsen_update, forward_euler_update
+from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
+from knp_emi_cgx_tpu.models.params import KNPEMIParams, params_from_config
+from knp_emi_cgx_tpu.ops.assembly import KNPEMIAssembler
+from knp_emi_cgx_tpu.ops.spmv import make_csr_matvec
+from knp_emi_cgx_tpu.solvers.direct import dense_solve, dense_solve_deflated
+from knp_emi_cgx_tpu.solvers.krylov import gmres
+from knp_emi_cgx_tpu.solvers.precond import BlockDiagonalPreconditioner
+
+
+class KNPEMIState(NamedTuple):
+    """Simulation state pytree (device-resident)."""
+
+    u: jnp.ndarray        # [nf, nV] field values (prev step)
+    phi_m: jnp.ndarray    # [nV]
+    n: jnp.ndarray        # [nV] gating
+    m: jnp.ndarray
+    h: jnp.ndarray
+    t: jnp.ndarray        # scalar time
+    x: jnp.ndarray        # [n_dofs] monolithic solver vector (warm start)
+
+
+class ProblemKNPEMI:
+    """Setup: mesh/topology, parameters, restrictions, assembler."""
+
+    def __init__(self,
+                 config: str | SimulationConfig,
+                 mesh: SimplexMesh | None = None,
+                 topology: MeshTopology | None = None,
+                 dtype=jnp.float64):
+        if isinstance(config, str):
+            config = load_config(config)
+        self.cfg = config
+        self.params: KNPEMIParams = params_from_config(config)
+        self.dtype = dtype
+
+        if topology is not None:
+            self.topo = topology
+        else:
+            if mesh is None:
+                mesh = self._load_or_generate_mesh()
+            if mesh.cell_tags is None:
+                raise ValueError("mesh must carry cell tags")
+            facet_tagger = getattr(mesh, "_facet_tagger", None)
+            facet_tags_raw = getattr(mesh, "_facet_tags_raw", None)
+            self.topo = build_topology(
+                mesh,
+                facet_tagger=facet_tagger,
+                facet_tags_raw=facet_tags_raw,
+                intra_tags=config.intra_tags,
+                extra_tag=config.extra_tag,
+                gamma_tags=config.gamma_tags,
+                boundary_tags=config.boundary_tags,
+            )
+        # scale coordinates AFTER tagging (mixed_dim_problem.py:681)
+        if config.mesh_conversion_factor != 1.0:
+            self.topo.mesh = self.topo.mesh.scaled(config.mesh_conversion_factor)
+
+        self.ionic_models = []
+        self.gating_variables = False
+        self.assembler: KNPEMIAssembler | None = None
+
+        # neuron/glia vertex dofs (KNPEMIx_problem.py:398-400)
+        ct = self.topo.mesh.cell_tags
+        cells = self.topo.mesh.cells
+        self.neuron_dofs = np.unique(
+            cells[np.isin(ct, config.neuron_tags)].ravel())
+        if config.glia_flag:
+            self.glia_dofs = np.unique(
+                cells[np.isin(ct, config.glia_tags)].ravel())
+        else:
+            self.glia_dofs = np.array([], dtype=np.int64)
+
+    # ------------------------------------------------------------------
+    def _load_or_generate_mesh(self) -> SimplexMesh:
+        from knp_emi_cgx_tpu.io.xdmf import read_mesh_xdmf
+
+        cfg = self.cfg
+        if cfg.mesh_file is None:
+            raise ValueError("No mesh file configured and no mesh passed")
+        return read_mesh_xdmf(cfg.mesh_file, cfg.facet_file)
+
+    # ------------------------------------------------------------------
+    def init_ionic_models(self, models):
+        """Register membrane models and build the assembler
+        (reference init_ionic_models, mixed_dim_problem.py:435-465)."""
+        self.ionic_models = list(models)
+        for m in self.ionic_models:
+            if hasattr(m, "finalize"):
+                m.finalize(self.params)
+            if isinstance(m, HodgkinHuxley):
+                self.gating_variables = True
+        # tag coverage check (mixed_dim_problem.py:457-462)
+        gamma = set(np.unique(self.topo.membrane_tags).tolist())
+        covered = set()
+        for m in self.ionic_models:
+            covered |= set(m.resolve_tags(sorted(gamma)))
+        if covered and not gamma.issubset(covered):
+            raise RuntimeError(
+                f"Mismatch between membrane tags {sorted(gamma)} and ionic "
+                f"model tags {sorted(covered)}")
+
+        self.assembler = KNPEMIAssembler(
+            self.topo, self.params, self.ionic_models,
+            dtype=self.dtype,
+            dirichlet_bcs=self.cfg.dirichlet_bcs,
+        )
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> KNPEMIState:
+        """Initial conditions (KNPEMIx_problem.py:386-450)."""
+        p = self.params
+        a = self.assembler
+        if a is None:
+            raise RuntimeError("Call init_ionic_models first")
+        nV = self.topo.mesh.num_points
+        nf = a.nf
+        u = np.zeros((nf, nV))
+        phi_m = np.zeros(nV)
+
+        glia = self.cfg.glia_flag
+        for k, ion in enumerate(p.ion_list):
+            if glia:
+                u[k, self.neuron_dofs] = ion["ki_init"]
+                u[k, self.glia_dofs] = ion["ki_init_g"]
+            else:
+                u[k, :] = ion["ki_init"]
+            u[a.nvar + k, :] = ion["ke_init"]
+        if glia:
+            u[a.PHI_I, self.neuron_dofs] = p.phi_m_init
+            u[a.PHI_I, self.glia_dofs] = p.phi_m_g_init
+            phi_m[self.neuron_dofs] = p.phi_m_init
+            phi_m[self.glia_dofs] = p.phi_m_g_init
+        else:
+            u[a.PHI_I, :] = p.phi_m_init
+            phi_m[:] = p.phi_m_init
+        u[a.PHI_E, :] = 0.0
+
+        # monolithic warm-start vector from the ICs
+        # (KNPEMIx_solver.py:177-209)
+        x = np.zeros(a.n_dofs)
+        fd = a.field_dof
+        for f in range(nf):
+            active = np.nonzero(fd[f] >= 0)[0]
+            x[fd[f, active]] = u[f, active]
+
+        dt = self.dtype
+        return KNPEMIState(
+            u=jnp.asarray(u, dtype=dt),
+            phi_m=jnp.asarray(phi_m, dtype=dt),
+            n=jnp.full((nV,), p.n_init, dtype=dt),
+            m=jnp.full((nV,), p.m_init, dtype=dt),
+            h=jnp.full((nV,), p.h_init, dtype=dt),
+            t=jnp.asarray(0.0, dtype=dt),
+            x=jnp.asarray(x, dtype=dt),
+        )
+
+    # ------------------------------------------------------------------
+    # diagnostics
+    # ------------------------------------------------------------------
+    def l2_norms(self, state: KNPEMIState):
+        """L2 norms of phi_i over Omega_i and phi_e over Omega_e
+        (reference main.py:66-87 / golden tests)."""
+        a = self.assembler
+        norms = {}
+        for name, field, side in (("phi_i", a.PHI_I, 0), ("phi_e", a.PHI_E, 1)):
+            s = a._sides[side]
+            vals = state.u[field][s["Vt"]]
+            sq = jnp.einsum("cab,ca,cb->", s["M_e"], vals, vals)
+            norms[name] = jnp.sqrt(sq)
+        return norms
+
+    def field_l2_norm(self, state, field: int, side: int):
+        a = self.assembler
+        s = a._sides[side]
+        vals = state.u[field][s["Vt"]]
+        return jnp.sqrt(jnp.einsum("cab,ca,cb->", s["M_e"], vals, vals))
+
+    def conservation(self, state: KNPEMIState):
+        """Total amount of each ion over both compartments
+        (print_conservation, KNPEMIx_problem.py:807-843)."""
+        a = self.assembler
+        out = {}
+        for k, ion in enumerate(self.params.ion_list):
+            tot = 0.0
+            for side_idx, field in ((0, k), (1, a.nvar + k)):
+                s = a._sides[side_idx]
+                vals = state.u[field][s["Vt"]]
+                tot = tot + jnp.einsum("cab,cb->", s["M_e"], vals)
+            out[ion["name"]] = tot
+        return out
+
+
+class SolverKNPEMI:
+    """Time-stepping driver.  solver_config mirrors the reference YAML
+    `solver:` block (direct, ksp_settings{ksp_rtol, ...}, output{...})."""
+
+    def __init__(self, problem: ProblemKNPEMI, solver_config: dict | None = None):
+        self.problem = problem
+        sc = dict(solver_config or problem.cfg.solver_config or {})
+        self.direct = bool(sc.get("direct", True))
+        ksp = sc.get("ksp_settings", {}) or {}
+        self.rtol = float(ksp.get("ksp_rtol", 1e-8))
+        self.restart = int(ksp.get("restart", 30))
+        self.pc_mode = str(ksp.get("pc_mode", "dense"))
+        self.time_steps = problem.cfg.time_steps
+        self.iterations: list[int] = []
+        self.assembly_time: list[float] = []
+        self.solve_time: list[float] = []
+
+        a = problem.assembler
+        self._matvec = make_csr_matvec(a.indptr, a.indices)
+        self._pc = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_step(self, state0: KNPEMIState):
+        p = self.problem
+        a = p.assembler
+        params = p.params
+        has_neumann = not (p.cfg.dirichlet_bcs or p.cfg.pin_ecs_potential)
+
+        if not self.direct and self._pc is None:
+            self._pc = BlockDiagonalPreconditioner(a, np.asarray(state0.u),
+                                                   mode=self.pc_mode)
+
+        # gather maps for scattering x back into field arrays
+        fd = a.field_dof
+        scat = []
+        for f in range(a.nf):
+            active = np.nonzero(fd[f] >= 0)[0]
+            scat.append((jnp.asarray(active), jnp.asarray(fd[f, active])))
+
+        gating = p.gating_variables
+        hh = next((m for m in p.ionic_models if isinstance(m, HodgkinHuxley)),
+                  None)
+        matvec = self._matvec
+        pc = self._pc
+        rtol, restart = self.rtol, self.restart
+        direct = self.direct
+
+        def step(state: KNPEMIState):
+            t_new = state.t + params.dt
+            n_, m_, h_ = state.n, state.m, state.h
+            if gating:
+                dt_ode = params.dt / hh.time_steps_ode
+                upd = (rush_larsen_update if hh.use_rush_larsen
+                       else forward_euler_update)
+                n_, m_, h_ = upd(n_, m_, h_, state.phi_m, params.phi_rest,
+                                 dt_ode, hh.time_steps_ode)
+            gates = {"n": n_, "m": m_, "h": h_}
+            vals, b = a.assemble(state.u, state.phi_m, gates, t_new)
+
+            if direct:
+                if has_neumann:
+                    x = dense_solve_deflated(a.indptr, a.indices, vals, b,
+                                             a.nullspace)
+                else:
+                    x = dense_solve(a.indptr, a.indices, vals, b)
+                its = jnp.array(0)
+            else:
+                res = gmres(lambda v: matvec(vals, v), b, state.x,
+                            M=pc, nullspace=a.nullspace if has_neumann else None,
+                            rtol=rtol, restart=restart,
+                            project_nullspace=has_neumann)
+                x = res.x
+                its = res.iterations
+
+            u = state.u
+            for f in range(a.nf):
+                verts, dofs = scat[f]
+                u = u.at[f, verts].set(x[dofs])
+            phi_m = u[a.PHI_I] - u[a.PHI_E]
+            return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
+                               t=t_new, x=x), its
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def solve(self, state: KNPEMIState | None = None,
+              callback=None) -> KNPEMIState:
+        """Run the configured number of timesteps.  `callback(i, state)` is
+        invoked after each step outside the jit (I/O, diagnostics)."""
+        p = self.problem
+        if state is None:
+            state = p.initial_state()
+        if self._step_fn is None:
+            self._step_fn = self._build_step(state)
+
+        for i in range(1, self.time_steps + 1):
+            tic = time.perf_counter()
+            state, its = self._step_fn(state)
+            if not self.direct:
+                self.iterations.append(int(its))
+            self.solve_time.append(time.perf_counter() - tic)
+            if callback is not None:
+                callback(i, state)
+        return state
+
+    def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:
+        """Pure on-device time loop (lax.scan) — no host round-trips; used
+        for benchmarking and production runs without per-step I/O."""
+        step = self._step_fn or self._build_step(state)
+
+        def body(s, _):
+            s2, its = step(s)
+            return s2, its
+
+        final, _ = jax.lax.scan(body, state, None, length=num_steps)
+        return final
