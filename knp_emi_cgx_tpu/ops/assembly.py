@@ -46,13 +46,19 @@ class KNPEMIAssembler:
                  dirichlet_bcs: bool = False,
                  pinned_dofs: np.ndarray | None = None,
                  source_vertex_values: dict | None = None,
-                 mms=None):
+                 mms=None,
+                 pad_multiple: int = 1):
+        """pad_multiple: pad per-cell and per-facet dynamic work arrays to a
+        multiple of this count (zero-measure dummy entries anchored at a
+        membrane vertex, contributing exact zeros) so they shard evenly
+        across a device mesh."""
         self.topo = topo
         self.params = params
         self.models = list(models)
         self.dtype = dtype
         self.dirichlet_bcs = dirichlet_bcs
         self.mms = mms
+        self.pad_multiple = max(1, int(pad_multiple))
 
         p = params
         mesh = topo.mesh
@@ -112,12 +118,26 @@ class KNPEMIAssembler:
         mat_blocks = []   # (rows, cols) per dynamic matrix block, host order
         static_rows, static_cols, static_vals = [], [], []
 
+        # a vertex active in every field's restriction (membrane vertices
+        # belong to both compartment closures) — anchor for padded entries
+        safe_vertex = int(topo.membrane_verts[0, 0]) if len(topo.membrane_verts) else 0
+        pm = self.pad_multiple
+
+        def _padded_count(n):
+            return (-(-n // pm)) * pm if pm > 1 else n
+
         for side, cells_idx in (("i", topo.intra_cells), ("e", topo.extra_cells)):
             Vt = mesh.cells[cells_idx]                     # [nc, nv]
             g = grads[cells_idx]                           # [nc, nv, dim]
             v = vols[cells_idx]                            # [nc]
             K_e = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
             M_e = v[:, None, None] * Mref[None, :, :]
+            n_pad = _padded_count(Vt.shape[0]) - Vt.shape[0]
+            if n_pad:
+                Vt = np.concatenate(
+                    [Vt, np.full((n_pad, nv), safe_vertex, dtype=Vt.dtype)])
+                K_e = np.concatenate([K_e, np.zeros((n_pad, nv, nv))])
+                M_e = np.concatenate([M_e, np.zeros((n_pad, nv, nv))])
             phi_f = self.PHI_I if side == "i" else self.PHI_E
             ion_off = 0 if side == "i" else nvar
             Dkey = "Di" if side == "i" else "De"
@@ -147,7 +167,7 @@ class KNPEMIAssembler:
 
             self._sides.append({
                 "side": side,
-                "Vt": jnp.asarray(Vt),
+                "Vt": jnp.asarray(Vt, dtype=jnp.int32),
                 "K_e": jnp.asarray(K_e, dtype=dtype),
                 "M_e": jnp.asarray(M_e, dtype=dtype),
                 "ion_off": ion_off,
@@ -160,17 +180,25 @@ class KNPEMIAssembler:
         # Membrane facet data
         # ------------------------------------------------------------------
         mverts = topo.membrane_verts                        # [n_mf, dim]
-        self.n_mf = n_mf = mverts.shape[0]
+        membrane_tags = topo.membrane_tags
         Nq, wq = facet_quadrature(dim, degree=10)           # [nq, dim], [nq]
         self.nq = Nq.shape[0]
         L_f = facet_geometry(mesh.points, mverts)
+        n_fpad = _padded_count(mverts.shape[0]) - mverts.shape[0]
+        if n_fpad:
+            mverts = np.concatenate(
+                [mverts, np.full((n_fpad, dim), safe_vertex, dtype=mverts.dtype)])
+            L_f = np.concatenate([L_f, np.zeros(n_fpad)])
+            membrane_tags = np.concatenate(
+                [membrane_tags, np.full(n_fpad, -1, dtype=membrane_tags.dtype)])
+        self.n_mf = n_mf = mverts.shape[0]
 
         # per-model facet masks
         gamma_tags = np.unique(topo.membrane_tags)
         model_masks = []
         for m in self.models:
             tags = m.resolve_tags(gamma_tags.tolist())
-            model_masks.append(np.isin(topo.membrane_tags, tags))
+            model_masks.append(np.isin(membrane_tags, tags))
         self.model_masks_np = model_masks
 
         # stimulus facet mask: facets whose tag is a stimulus tag AND which
@@ -178,7 +206,7 @@ class KNPEMIAssembler:
         stim_tags = getattr(params, "stimulus_tags", None)
         if stim_tags is None:
             stim_tags = tuple(gamma_tags.tolist())
-        stim_f = np.isin(topo.membrane_tags, stim_tags)
+        stim_f = np.isin(membrane_tags, stim_tags)
         hh_f = np.zeros(n_mf, dtype=bool)
         for m, mask in zip(self.models, model_masks):
             if isinstance(m, HodgkinHuxley):
@@ -249,15 +277,17 @@ class KNPEMIAssembler:
         indptr = np.zeros(self.n_dofs + 1, dtype=np.int64)
         np.add.at(indptr, csr_rows + 1, 1)
         indptr = np.cumsum(indptr)
-        self.indptr = jnp.asarray(indptr)
-        self.indices = jnp.asarray(csr_cols)
+        self.indptr = jnp.asarray(indptr, dtype=jnp.int32)
+        self.indices = jnp.asarray(csr_cols, dtype=jnp.int32)
+        from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
+        self.row_ids = expand_row_ids(indptr)
         self.csr_rows_np = csr_rows
         self.csr_cols_np = csr_cols
 
         n_st = st_rows.shape[0]
         n_dyn = dyn_rows.shape[0]
         st_slots = inv[:n_st]
-        self.dyn_slots = jnp.asarray(inv[n_st:n_st + n_dyn])
+        self.dyn_slots = jnp.asarray(inv[n_st:n_st + n_dyn], dtype=jnp.int32)
         bc_diag_slots = inv[n_st + n_dyn:]
 
         # BC masking of static values (rows and columns zeroed; unit diagonal)
@@ -277,14 +307,14 @@ class KNPEMIAssembler:
             lift_mask_st = (~bc_flag[st_rows]) & bc_flag[st_cols]
             self._lift_static = (
                 jnp.asarray(st_vals * lift_mask_st, dtype=dtype),
-                jnp.asarray(st_rows),
-                jnp.asarray(st_cols),
+                jnp.asarray(st_rows, dtype=jnp.int32),
+                jnp.asarray(st_cols, dtype=jnp.int32),
             )
             self._lift_dyn_mask = jnp.asarray(
                 ((~bc_flag[dyn_rows]) & bc_flag[dyn_cols]).astype(np.float64),
                 dtype=dtype)
-            self._dyn_rows = jnp.asarray(dyn_rows)
-            self._dyn_cols = jnp.asarray(dyn_cols)
+            self._dyn_rows = jnp.asarray(dyn_rows, dtype=jnp.int32)
+            self._dyn_cols = jnp.asarray(dyn_cols, dtype=jnp.int32)
         self.bc_flag = jnp.asarray(bc_flag)
 
         # ------------------------------------------------------------------
@@ -301,12 +331,12 @@ class KNPEMIAssembler:
             rhs_rows.append(field_dof[f][mv].ravel())
         for f in list(range(nvar, nvar + N)) + [self.PHI_E]:
             rhs_rows.append(field_dof[f][mv].ravel())
-        self.rhs_rows = jnp.asarray(np.concatenate(rhs_rows))
+        self.rhs_rows = jnp.asarray(np.concatenate(rhs_rows), dtype=jnp.int32)
         self.rhs_keep = jnp.asarray(
             (~bc_flag[np.concatenate(rhs_rows)]).astype(np.float64), dtype=dtype)
 
         # device arrays for facet evaluation
-        self.mverts = jnp.asarray(mverts)
+        self.mverts = jnp.asarray(mverts, dtype=jnp.int32)
         self.Nq = jnp.asarray(Nq, dtype=dtype)            # [nq, d]
         self.wq = jnp.asarray(wq, dtype=dtype)
         self.L_f = jnp.asarray(L_f, dtype=dtype)
@@ -333,6 +363,39 @@ class KNPEMIAssembler:
         ns[field_dof[self.PHI_E][extra]] = 1.0
         ns /= np.linalg.norm(ns)
         self.nullspace = jnp.asarray(ns, dtype=dtype)
+
+    # -- device-array bundling (see utils/devicestate.py): every jnp array
+    # the jitted step touches must be passed as an argument, not captured --
+    DEVICE_ATTRS = (
+        "A_static_vals", "dyn_slots", "dyn_keep", "rhs_rows", "rhs_keep",
+        "indices", "indptr", "row_ids", "nullspace", "src", "bc_flag",
+        "mverts", "Nq", "wq", "L_f", "stim_facet_mask", "region_qp",
+        "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
+    )
+    SIDE_ATTRS = ("Vt", "K_e", "M_e")
+
+    def device_state(self):
+        from knp_emi_cgx_tpu.utils.devicestate import collect
+
+        st = {"attrs": collect(self, self.DEVICE_ATTRS),
+              "model_masks": list(self.model_masks),
+              "sides": [{k: s[k] for k in self.SIDE_ATTRS}
+                        for s in self._sides]}
+        if self.has_bcs:
+            st["lift_static"] = self._lift_static
+        return st
+
+    def install_device_state(self, st):
+        from knp_emi_cgx_tpu.utils.devicestate import install
+
+        old = self.device_state()
+        install(self, st["attrs"])
+        self.model_masks = st["model_masks"]
+        for s, d in zip(self._sides, st["sides"]):
+            s.update(d)
+        if "lift_static" in st:
+            self._lift_static = st["lift_static"]
+        return old
 
     @staticmethod
     def _bcast_pair(rows, cols, nv):

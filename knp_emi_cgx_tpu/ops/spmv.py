@@ -11,6 +11,27 @@ import jax
 import jax.numpy as jnp
 
 
+def expand_row_ids(indptr):
+    """Host-side expansion of CSR indptr to per-nnz row ids (int32 device
+    array).  Always compute this on the host: a device searchsorted would
+    trigger one XLA compile per matrix shape at setup time."""
+    import numpy as np
+
+    indptr_np = np.asarray(indptr)
+    return jnp.asarray(
+        np.repeat(np.arange(indptr_np.shape[0] - 1), np.diff(indptr_np)),
+        dtype=jnp.int32)
+
+
+def csr_mv(vals, x, indices, row_ids, n):
+    """y = A @ x with all index arrays as explicit arguments (never capture
+    them in closures — jit-embedded constants are re-shipped to the device
+    every execution on remote runtimes; arguments stay resident)."""
+    prod = vals * x[indices]
+    return jax.ops.segment_sum(prod, row_ids, num_segments=n,
+                               indices_are_sorted=True)
+
+
 def csr_matvec(indptr, indices, vals, x):
     """y = A @ x for CSR (indptr [n+1], indices [nnz], vals [nnz])."""
     n = indptr.shape[0] - 1
@@ -24,10 +45,18 @@ def csr_matvec(indptr, indices, vals, x):
 def make_csr_matvec(indptr, indices):
     """Precompute the per-nnz row ids once; returns a jittable matvec closure.
 
-    Prefer this over `csr_matvec` in hot loops — the searchsorted is hoisted.
+    Prefer this over `csr_matvec` in hot loops — the row-id expansion is
+    hoisted, and computed on the HOST (a device searchsorted here would
+    trigger one XLA compilation per distinct matrix shape at setup time,
+    which is ruinous over many AMG levels).
     """
-    row_ids = jnp.searchsorted(indptr, jnp.arange(indices.shape[0]),
-                               side="right") - 1
+    import numpy as np
+
+    indptr_np = np.asarray(indptr)
+    row_ids = jnp.asarray(
+        np.repeat(np.arange(indptr_np.shape[0] - 1),
+                  np.diff(indptr_np)), dtype=jnp.int32)
+    indices = jnp.asarray(indices, dtype=jnp.int32)
     n = indptr.shape[0] - 1
 
     def matvec(vals, x):

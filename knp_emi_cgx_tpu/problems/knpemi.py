@@ -29,7 +29,7 @@ from knp_emi_cgx_tpu.models.gating import rush_larsen_update, forward_euler_upda
 from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
 from knp_emi_cgx_tpu.models.params import KNPEMIParams, params_from_config
 from knp_emi_cgx_tpu.ops.assembly import KNPEMIAssembler
-from knp_emi_cgx_tpu.ops.spmv import make_csr_matvec
+from knp_emi_cgx_tpu.ops.spmv import csr_mv
 from knp_emi_cgx_tpu.solvers.direct import dense_solve, dense_solve_deflated
 from knp_emi_cgx_tpu.solvers.krylov import gmres
 from knp_emi_cgx_tpu.solvers.precond import BlockDiagonalPreconditioner
@@ -235,10 +235,9 @@ class SolverKNPEMI:
         self.assembly_time: list[float] = []
         self.solve_time: list[float] = []
 
-        a = problem.assembler
-        self._matvec = make_csr_matvec(a.indptr, a.indices)
         self._pc = None
         self._step_fn = None
+        self._bundle = None
 
     # ------------------------------------------------------------------
     def _build_step(self, state0: KNPEMIState):
@@ -261,47 +260,71 @@ class SolverKNPEMI:
         gating = p.gating_variables
         hh = next((m for m in p.ionic_models if isinstance(m, HodgkinHuxley)),
                   None)
-        matvec = self._matvec
         pc = self._pc
         rtol, restart = self.rtol, self.restart
         direct = self.direct
 
-        def step(state: KNPEMIState):
-            t_new = state.t + params.dt
-            n_, m_, h_ = state.n, state.m, state.h
-            if gating:
-                dt_ode = params.dt / hh.time_steps_ode
-                upd = (rush_larsen_update if hh.use_rush_larsen
-                       else forward_euler_update)
-                n_, m_, h_ = upd(n_, m_, h_, state.phi_m, params.phi_rest,
-                                 dt_ode, hh.time_steps_ode)
-            gates = {"n": n_, "m": m_, "h": h_}
-            vals, b = a.assemble(state.u, state.phi_m, gates, t_new)
+        # Every device array goes through the bundle ARGUMENT: closure
+        # constants would be re-shipped to the device on each execution
+        # (see utils/devicestate.py).
+        bundle = {"a": a.device_state(), "scat": scat}
+        if pc is not None:
+            bundle["pc"] = pc.device_state()
+        self._bundle = bundle
 
-            if direct:
-                if has_neumann:
-                    x = dense_solve_deflated(a.indptr, a.indices, vals, b,
-                                             a.nullspace)
+        def step(state: KNPEMIState, bundle):
+            old_a = a.install_device_state(bundle["a"])
+            old_pc = pc.install(bundle["pc"]) if pc is not None else None
+            try:
+                t_new = state.t + params.dt
+                n_, m_, h_ = state.n, state.m, state.h
+                if gating:
+                    dt_ode = params.dt / hh.time_steps_ode
+                    upd = (rush_larsen_update if hh.use_rush_larsen
+                           else forward_euler_update)
+                    n_, m_, h_ = upd(n_, m_, h_, state.phi_m, params.phi_rest,
+                                     dt_ode, hh.time_steps_ode)
+                gates = {"n": n_, "m": m_, "h": h_}
+                vals, b = a.assemble(state.u, state.phi_m, gates, t_new)
+
+                if direct:
+                    if has_neumann:
+                        x = dense_solve_deflated(a.indptr, a.indices, vals, b,
+                                                 a.nullspace)
+                    else:
+                        x = dense_solve(a.indptr, a.indices, vals, b)
+                    its = jnp.array(0)
                 else:
-                    x = dense_solve(a.indptr, a.indices, vals, b)
-                its = jnp.array(0)
-            else:
-                res = gmres(lambda v: matvec(vals, v), b, state.x,
-                            M=pc, nullspace=a.nullspace if has_neumann else None,
-                            rtol=rtol, restart=restart,
-                            project_nullspace=has_neumann)
-                x = res.x
-                its = res.iterations
+                    indices, row_ids = a.indices, a.row_ids
+                    n_dofs = a.n_dofs
+                    res = gmres(
+                        lambda v: csr_mv(vals, v, indices, row_ids, n_dofs),
+                        b, state.x, M=pc,
+                        nullspace=a.nullspace if has_neumann else None,
+                        rtol=rtol, restart=restart,
+                        project_nullspace=has_neumann)
+                    x = res.x
+                    its = res.iterations
 
-            u = state.u
-            for f in range(a.nf):
-                verts, dofs = scat[f]
-                u = u.at[f, verts].set(x[dofs])
-            phi_m = u[a.PHI_I] - u[a.PHI_E]
-            return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
-                               t=t_new, x=x), its
+                u = state.u
+                for f in range(a.nf):
+                    verts, dofs = bundle["scat"][f]
+                    u = u.at[f, verts].set(x[dofs])
+                phi_m = u[a.PHI_I] - u[a.PHI_E]
+                return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
+                                   t=t_new, x=x), its
+            finally:
+                a.install_device_state(old_a)
+                if pc is not None:
+                    pc.install(old_pc)
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+
+        def bound_step(state):
+            return jitted(state, self._bundle)
+
+        bound_step.jitted = jitted
+        return bound_step
 
     # ------------------------------------------------------------------
     def solve(self, state: KNPEMIState | None = None,

@@ -1,0 +1,199 @@
+"""Smoothed-aggregation algebraic multigrid, TPU-native.
+
+The reference leans on hypre BoomerAMG through PETSc
+(`KNPEMIx_solver.py:267-273`) for the near-singular potential blocks of the
+block-diagonal preconditioner.  TPU has no hypre — and classical AMG's
+sequential triangular smoothers map terribly onto the MXU/VPU anyway.  This
+module rebuilds the capability TPU-first:
+
+  * SETUP (host, numpy/scipy, once per run): greedy aggregation on the
+    strength graph, smoothed prolongation P = (I - omega D^-1 A) P0,
+    Galerkin coarse operators A_c = P^T A P, recursing until the coarsest
+    level is small enough for a dense inverse.
+  * APPLY (device, jittable): a V-cycle whose every ingredient is a
+    static-sparsity CSR SpMV or a small dense matvec — Chebyshev/Jacobi
+    smoothing (polynomial smoothers are the TPU-appropriate choice: no
+    sequential dependencies, pure fused VPU work), restriction/prolongation
+    as SpMVs, dense coarse solve on the MXU.
+
+The result is a mesh-robust O(n) preconditioner whose application is one
+fused XLA computation — no host round-trips inside the Krylov loop.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from knp_emi_cgx_tpu.ops.spmv import make_csr_matvec
+
+
+def _strength_graph(A: sp.csr_matrix, theta: float = 0.08) -> sp.csr_matrix:
+    """Symmetric strength-of-connection: keep |a_ij| >= theta*sqrt(a_ii a_jj)."""
+    d = np.sqrt(np.abs(A.diagonal()))
+    C = A.tocoo()
+    keep = np.abs(C.data) >= theta * d[C.row] * d[C.col]
+    keep &= C.row != C.col
+    return sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape)
+
+
+def _aggregate(C: sp.csr_matrix) -> np.ndarray:
+    """Greedy aggregation (standard SA pass 1+2). Returns agg id per node."""
+    n = C.shape[0]
+    agg = np.full(n, -1, dtype=np.int64)
+    next_agg = 0
+    indptr, indices = C.indptr, C.indices
+    # pass 1: roots with fully unaggregated neighbourhoods
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if np.all(agg[nbrs] == -1):
+            agg[i] = next_agg
+            agg[nbrs] = next_agg
+            next_agg += 1
+    # pass 2: attach leftovers to an aggregated neighbour (or make singleton)
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        tagged = nbrs[agg[nbrs] != -1]
+        if len(tagged):
+            agg[i] = agg[tagged[0]]
+        else:
+            agg[i] = next_agg
+            next_agg += 1
+    return agg
+
+
+def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 20) -> float:
+    """Power-iteration estimate of lambda_max(D^-1 A)."""
+    dinv = 1.0 / A.diagonal()
+    x = np.random.default_rng(0).normal(size=A.shape[0])
+    x /= np.linalg.norm(x)
+    lam = 1.0
+    for _ in range(iters):
+        y = dinv * (A @ x)
+        lam = np.linalg.norm(y)
+        if lam == 0:
+            return 1.0
+        x = y / lam
+    return float(lam)
+
+
+class AMGLevel:
+    """Per-level device arrays.  All index structures are data (passed as jit
+    arguments via device_state), never closure constants."""
+
+    ARRAYS = ("A_indices", "A_row_ids", "A_vals", "dinv",
+              "P_indices", "P_row_ids", "P_vals",
+              "R_indices", "R_row_ids", "R_vals")
+
+    def __init__(self, A: sp.csr_matrix, P: sp.csr_matrix | None, lam_max: float,
+                 dtype):
+        from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
+
+        self.n = A.shape[0]
+        self.A_indices = jnp.asarray(A.indices, dtype=jnp.int32)
+        self.A_row_ids = expand_row_ids(A.indptr)
+        self.A_vals = jnp.asarray(A.data, dtype=dtype)
+        self.dinv = jnp.asarray(1.0 / A.diagonal(), dtype=dtype)
+        self.lam_max = lam_max
+        self.has_P = P is not None
+        if P is not None:
+            Pc = P.tocsr()
+            Rc = P.T.tocsr()
+            self.nc = Pc.shape[1]
+            self.P_indices = jnp.asarray(Pc.indices, dtype=jnp.int32)
+            self.P_row_ids = expand_row_ids(Pc.indptr)
+            self.P_vals = jnp.asarray(Pc.data, dtype=dtype)
+            self.R_indices = jnp.asarray(Rc.indices, dtype=jnp.int32)
+            self.R_row_ids = expand_row_ids(Rc.indptr)
+            self.R_vals = jnp.asarray(Rc.data, dtype=dtype)
+
+
+class SmoothedAggregationAMG:
+    """V-cycle preconditioner for an SPD CSR matrix."""
+
+    def __init__(self, A: sp.csr_matrix, dtype=jnp.float64,
+                 max_levels: int = 10, coarse_size: int = 200,
+                 theta: float = 0.08, omega: float = 4.0 / 3.0,
+                 smooth_iters: int = 2):
+        self.dtype = dtype
+        self.smooth_iters = smooth_iters
+        self.levels: list[AMGLevel] = []
+
+        A = A.tocsr()
+        for _ in range(max_levels):
+            lam = _lam_max_jacobi(A)
+            if A.shape[0] <= coarse_size:
+                self.levels.append(AMGLevel(A, None, lam, dtype))
+                break
+            C = _strength_graph(A, theta)
+            agg = _aggregate(C if C.nnz else sp.csr_matrix(A.shape))
+            nagg = int(agg.max()) + 1
+            if nagg >= A.shape[0]:  # no coarsening possible
+                self.levels.append(AMGLevel(A, None, lam, dtype))
+                break
+            P0 = sp.csr_matrix(
+                (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
+                shape=(A.shape[0], nagg))
+            Dinv = sp.diags(1.0 / A.diagonal())
+            P = P0 - (omega / lam) * (Dinv @ (A @ P0))
+            self.levels.append(AMGLevel(A, P, lam, dtype))
+            A = (P.T @ A @ P).tocsr()
+            A.sort_indices()
+        # coarsest dense inverse (host — the matrix is tiny)
+        dense = A.toarray()
+        # guard singular coarse op (pure-Neumann blocks): regularise lightly
+        scale = np.abs(dense).max() or 1.0
+        dense = dense + 1e-12 * scale * np.eye(dense.shape[0])
+        self.coarse_inv = jnp.asarray(np.linalg.inv(dense), dtype=dtype)
+
+    # ------------------------------------------------------------------
+    def device_state(self):
+        out = {"levels": [], "coarse_inv": self.coarse_inv}
+        for lv in self.levels:
+            out["levels"].append({k: getattr(lv, k) for k in AMGLevel.ARRAYS
+                                  if hasattr(lv, k)})
+        return out
+
+    def install(self, st):
+        old = self.device_state()
+        self.coarse_inv = st["coarse_inv"]
+        for lv, d in zip(self.levels, st["levels"]):
+            for k, v in d.items():
+                setattr(lv, k, v)
+        return old
+
+    def _smooth(self, level: AMGLevel, x, b):
+        """Chebyshev-weighted Jacobi sweeps (TPU-friendly polynomial)."""
+        from knp_emi_cgx_tpu.ops.spmv import csr_mv
+
+        lam = level.lam_max
+        # two-weight scheme targeting [0.3*lam, 1.1*lam]
+        for omega in (1.0 / (0.7 * lam), 1.0 / (1.1 * lam))[: self.smooth_iters]:
+            r = b - csr_mv(level.A_vals, x, level.A_indices, level.A_row_ids,
+                           level.n)
+            x = x + omega * (level.dinv * r)
+        return x
+
+    def _cycle(self, k: int, b):
+        from knp_emi_cgx_tpu.ops.spmv import csr_mv
+
+        level = self.levels[k]
+        if not level.has_P:
+            return self.coarse_inv @ b
+        x = self._smooth(level, jnp.zeros_like(b), b)
+        r = b - csr_mv(level.A_vals, x, level.A_indices, level.A_row_ids,
+                       level.n)
+        rc = csr_mv(level.R_vals, r, level.R_indices, level.R_row_ids,
+                    level.nc)
+        xc = self._cycle(k + 1, rc)
+        x = x + csr_mv(level.P_vals, xc, level.P_indices, level.P_row_ids,
+                       level.n)
+        x = self._smooth(level, x, b)
+        return x
+
+    def __call__(self, b):
+        return self._cycle(0, b)

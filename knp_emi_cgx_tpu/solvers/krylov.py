@@ -2,11 +2,11 @@
 projection.
 
 TPU-native replacement of PETSc KSP (KNPEMIx_solver.py:152-295).  Static
-shapes throughout: the Krylov basis is a fixed [restart, n] array; the inner
-Arnoldi loop is a `lax.fori_loop` with masking past convergence, and outer
-restarts are a `lax.while_loop`.  All reductions are plain dots that `psum`
-across devices when the operator is sharded (the multi-chip path shards x
-and the SpMV; XLA inserts the collectives).
+shapes throughout: the Krylov basis is a fixed [restart+1, n] array; the
+inner Arnoldi loop is a `lax.while_loop` that EXITS as soon as the Givens
+residual passes tolerance (no wasted SpMVs past convergence), and outer
+restarts are a second while_loop.  All reductions are plain dots that psum
+across devices when the operator is sharded.
 
 Left preconditioning with the preconditioned-residual norm matches the
 reference's default KSP configuration (`norm_type: preconditioned`,
@@ -47,14 +47,16 @@ def gmres(matvec: Callable,
 
     matvec : x -> A @ x
     M      : r -> approx A^{-1} r (left preconditioner), identity if None
-    nullspace : unit vector n; if project_nullspace, the rhs/residual and
-        iterates are kept orthogonal to n (PETSc MatNullSpace equivalent).
+    nullspace : unit vector n; if project_nullspace, rhs/residual and Krylov
+        vectors are kept orthogonal to n (PETSc MatNullSpace equivalent); the
+        returned x keeps x0's nullspace component, like PETSc KSP.
     rtol   : relative tolerance on the preconditioned residual norm.
     """
     if M is None:
         M = _identity
     n = b.shape[0]
     dtype = b.dtype
+    eps_floor = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
 
     def proj(v):
         if nullspace is None or not project_nullspace:
@@ -63,7 +65,7 @@ def gmres(matvec: Callable,
 
     b = proj(b)
     norm_Mb = jnp.linalg.norm(M(b))
-    tol = rtol * jnp.maximum(norm_Mb, jnp.asarray(1e-300, dtype))
+    tol = rtol * jnp.maximum(norm_Mb, eps_floor)
 
     def arnoldi_cycle(x):
         r = proj(M(b - matvec(x)))
@@ -74,65 +76,68 @@ def gmres(matvec: Callable,
         cs = jnp.zeros(restart, dtype=dtype)
         sn = jnp.zeros(restart, dtype=dtype)
         g = jnp.zeros(restart + 1, dtype=dtype)
-        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = V.at[0].set(r / jnp.maximum(beta, eps_floor))
         g = g.at[0].set(beta)
 
-        def body(j, carry):
-            V, H, cs, sn, g, res, done, cnt = carry
-            cnt = cnt + jnp.where(done, 0, 1)
+        def body(carry):
+            j, V, H, cs, sn, g, _res = carry
             w = proj(M(matvec(V[j])))
-            # modified Gram-Schmidt
+
+            # modified Gram-Schmidt against columns 0..j
             def mgs(i, wh):
                 w, hcol = wh
-                hij = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                return w, hcol.at[i].set(hij)
+                active = i <= j
+                hij = jnp.where(active, jnp.dot(V[i], w), 0.0)
+                return w - hij * V[i], hcol.at[i].set(hij)
 
-            w, hcol = jax.lax.fori_loop(0, j + 1, mgs,
-                                        (w, jnp.zeros(restart + 1, dtype=dtype)))
+            w, hcol = jax.lax.fori_loop(
+                0, restart + 1, mgs,
+                (w, jnp.zeros(restart + 1, dtype=dtype)))
             hj1 = jnp.linalg.norm(w)
             hcol = hcol.at[j + 1].set(hj1)
-            V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, eps_floor))
 
-            # apply existing Givens rotations to the new column
+            # apply previous Givens rotations
             def rot(i, hc):
+                active = i < j
                 hi, hi1 = hc[i], hc[i + 1]
-                hc = hc.at[i].set(cs[i] * hi + sn[i] * hi1)
-                return hc.at[i + 1].set(-sn[i] * hi + cs[i] * hi1)
+                new_i = jnp.where(active, cs[i] * hi + sn[i] * hi1, hi)
+                new_i1 = jnp.where(active, -sn[i] * hi + cs[i] * hi1, hi1)
+                return hc.at[i].set(new_i).at[i + 1].set(new_i1)
 
-            hcol = jax.lax.fori_loop(0, j, rot, hcol)
-            # new rotation
+            hcol = jax.lax.fori_loop(0, restart, rot, hcol)
             denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            c = hcol[j] / jnp.maximum(denom, 1e-300)
-            s = hcol[j + 1] / jnp.maximum(denom, 1e-300)
+            c = hcol[j] / jnp.maximum(denom, eps_floor)
+            s = hcol[j + 1] / jnp.maximum(denom, eps_floor)
             cs = cs.at[j].set(c)
             sn = sn.at[j].set(s)
             hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
             gj = g[j]
             g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
-            H = H.at[:, j].set(hcol[:restart + 1])
+            H = H.at[:, j].set(hcol[: restart + 1])
             res = jnp.abs(g[j + 1])
-            # `done` only gates the iteration counter; continuing Arnoldi past
-            # convergence is mathematically harmless (residual is monotone).
-            newly_done = res <= tol
-            return V, H, cs, sn, g, res, done | newly_done, cnt
+            return j + 1, V, H, cs, sn, g, res
 
-        V, H, cs, sn, g, res, done, cnt = jax.lax.fori_loop(
-            0, restart, body,
-            (V, H, cs, sn, g, beta, beta <= tol, jnp.array(0)))
+        def cond(carry):
+            j, *_, res = carry
+            return (j < restart) & (res > tol)
 
-        # back-substitution on the full restart triangle (converged columns
-        # beyond the active size have identity-ish structure; to keep shapes
-        # static we solve the full system with guarded diagonal)
+        j, V, H, cs, sn, g, res = jax.lax.while_loop(
+            cond, body, (jnp.array(0), V, H, cs, sn, g, beta))
+
+        # solve the j x j least-squares triangle (static shapes: mask the
+        # inactive trailing rows/cols and guard the diagonal)
+        active = jnp.arange(restart) < j
         R = H[:restart, :restart]
-        Rd = jnp.where(jnp.abs(jnp.diag(R)) > 0, jnp.diag(R), 1.0)
-        R = R.at[jnp.diag_indices(restart)].set(Rd)
-        y = jax.scipy.linalg.solve_triangular(R, g[:restart], lower=False)
-        # Every Krylov basis vector is projected, so the update is orthogonal
-        # to the nullspace and x keeps x0's nullspace component — the same
-        # behaviour as PETSc KSP with a MatNullSpace attached.
+        diag = jnp.where(active, jnp.diagonal(R), 1.0)
+        diag = jnp.where(jnp.abs(diag) > 0, diag, 1.0)
+        R = R.at[jnp.diag_indices(restart)].set(diag)
+        rhs = jnp.where(active, g[:restart], 0.0)
+        y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
+        # Krylov update is orthogonal to the nullspace (all V columns are
+        # projected) — x keeps x0's nullspace component, like PETSc.
         x_new = x + V[:restart].T @ y
-        return x_new, res, cnt
+        return x_new, res, j
 
     def cond(carry):
         _, res, it, outer = carry

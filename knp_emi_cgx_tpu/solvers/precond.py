@@ -25,6 +25,7 @@ Application modes:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import scipy.sparse as sp
@@ -101,50 +102,106 @@ class BlockDiagonalPreconditioner:
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         assert self.offsets[-1] == assembler.n_dofs
 
-        if mode == "dense":
-            self.inv = [jnp.asarray(np.linalg.inv(b.toarray()), dtype=dtype)
-                        for b in blocks]
-        elif mode == "chebyshev":
-            self.blocks = blocks
-            self.cheb = []
-            for b in blocks:
-                d = np.asarray(b.diagonal())
-                Dinv = sp.diags(1.0 / d)
-                # spectral bound of D^-1 B via a few power iterations
-                lam_max = float(abs(spla.eigs(Dinv @ b, k=1, which="LM",
-                                              return_eigenvectors=False,
-                                              maxiter=200, tol=1e-2)[0]))
-                self.cheb.append((
-                    jnp.asarray(b.indptr), jnp.asarray(b.indices),
-                    jnp.asarray(b.data, dtype=dtype),
-                    jnp.asarray(1.0 / d, dtype=dtype),
-                    lam_max,
-                ))
-        else:
-            raise ValueError(mode)
+        # which blocks are potentials (index N and 2N+1 in field ordering)
+        N = assembler.N_ions
+        phi_blocks = {N, 2 * N + 1}
+
+        def dense_of(i, b):
+            # ship the sparse data, densify + invert ON DEVICE — transfers
+            # O(nnz) instead of O(n^2) through the host->TPU tunnel
+            from knp_emi_cgx_tpu.ops.spmv import csr_to_dense
+
+            dense = csr_to_dense(jnp.asarray(b.indptr, dtype=jnp.int32),
+                                 jnp.asarray(b.indices, dtype=jnp.int32),
+                                 jnp.asarray(b.data, dtype=dtype))
+            return ("dense", jnp.linalg.inv(dense))
+
+        def cheb_of(i, b, iters):
+            from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
+
+            d = np.asarray(b.diagonal())
+            dinv_b = sp.diags(1.0 / d) @ b
+            # Gershgorin bound on D^-1 B (SPD): lam_max <= max row sum of |.|
+            lam_max = float(np.abs(dinv_b).sum(axis=1).max())
+            return ("cheb", {
+                "indices": jnp.asarray(b.indices, dtype=jnp.int32),
+                "row_ids": expand_row_ids(b.indptr),
+                "vals": jnp.asarray(b.data, dtype=dtype),
+                "dinv": jnp.asarray(1.0 / d, dtype=dtype),
+                "lam_max": lam_max, "iters": iters, "n": b.shape[0],
+            })
+
+        def amg_of(i, b):
+            from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
+
+            return ("amg", SmoothedAggregationAMG(b.tocsr(), dtype=dtype))
+
+        self.apply_blocks = []
+        for i, b in enumerate(blocks):
+            if mode == "dense" or (mode == "mixed" and i in phi_blocks):
+                self.apply_blocks.append(dense_of(i, b))
+            elif mode == "amg":
+                # AMG V-cycle on every block: mesh-robust and O(n), the
+                # hypre-BoomerAMG equivalent (scales to 3D tissue meshes)
+                self.apply_blocks.append(amg_of(i, b))
+            elif mode in ("chebyshev", "mixed"):
+                # ion blocks: mass + dt*D*K, well conditioned — few sweeps
+                self.apply_blocks.append(cheb_of(i, b, 5))
+            else:
+                raise ValueError(mode)
+        jax.block_until_ready([a[1] for a in self.apply_blocks
+                               if a[0] == "dense"])
+
+    # -- device-array bundling (see utils/devicestate.py) --
+    def device_state(self):
+        out = []
+        for kind, data in self.apply_blocks:
+            if kind == "dense":
+                out.append(data)
+            elif kind == "amg":
+                out.append(data.device_state())
+            else:
+                out.append({k: data[k] for k in
+                            ("indices", "row_ids", "vals", "dinv")})
+        return out
+
+    def install(self, st):
+        old = []
+        new_blocks = []
+        for (kind, data), d in zip(self.apply_blocks, st):
+            if kind == "dense":
+                old.append(data)
+                new_blocks.append((kind, d))
+            elif kind == "amg":
+                old.append(data.install(d))
+                new_blocks.append((kind, data))
+            else:
+                old.append({k: data[k] for k in d})
+                data = dict(data)
+                data.update(d)
+                new_blocks.append((kind, data))
+        self.apply_blocks = new_blocks
+        return old
 
     def __call__(self, r):
         outs = []
-        if self.mode == "dense":
-            for i, inv in enumerate(self.inv):
-                seg = r[self.offsets[i]:self.offsets[i + 1]]
-                outs.append(inv @ seg)
-            return jnp.concatenate(outs)
-        # Chebyshev(k) on each block with Jacobi scaling
-        from knp_emi_cgx_tpu.ops.spmv import csr_matvec
-
-        for i, (indptr, indices, vals, dinv, lam_max) in enumerate(self.cheb):
+        for i, (kind, data) in enumerate(self.apply_blocks):
             seg = r[self.offsets[i]:self.offsets[i + 1]]
-            x = _chebyshev(indptr, indices, vals, dinv, lam_max, seg, iters=8)
-            outs.append(x)
+            if kind == "dense":
+                outs.append(data @ seg)
+            elif kind == "amg":
+                outs.append(data(seg))
+            else:
+                outs.append(_chebyshev(data, seg))
         return jnp.concatenate(outs)
 
 
-def _chebyshev(indptr, indices, vals, dinv, lam_max, b, iters=8,
-               lam_min_frac=0.06):
-    """Chebyshev semi-iteration for SPD block with Jacobi scaling."""
-    from knp_emi_cgx_tpu.ops.spmv import csr_matvec
+def _chebyshev(blk, b, lam_min_frac=0.06):
+    """Chebyshev semi-iteration for an SPD block with Jacobi scaling."""
+    from knp_emi_cgx_tpu.ops.spmv import csr_mv
 
+    lam_max, iters, n = blk["lam_max"], blk["iters"], blk["n"]
+    dinv = blk["dinv"]
     lmax = 1.1 * lam_max
     lmin = lam_min_frac * lam_max
     theta = 0.5 * (lmax + lmin)
@@ -156,7 +213,7 @@ def _chebyshev(indptr, indices, vals, dinv, lam_max, b, iters=8,
     rho = 1.0 / sigma
     for _ in range(iters):
         x = x + d
-        r = b - csr_matvec(indptr, indices, vals, x)
+        r = b - csr_mv(blk["vals"], x, blk["indices"], blk["row_ids"], n)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = rho_new * rho * d + 2.0 * rho_new / delta * (dinv * r)
         rho = rho_new
