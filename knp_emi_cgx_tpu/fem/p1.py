@@ -113,6 +113,42 @@ def triangle_quadrature(degree: int):
     return np.array(pts), np.array(wts)
 
 
+def tetrahedron_quadrature(degree: int):
+    """Collapsed (triple-Duffy) Gauss rule on the reference tetrahedron,
+    exact for total degree <= degree.  Returns (points [nq,3], weights) with
+    sum(weights) = 1/6."""
+    n = (degree + 2) // 2 + 1
+    gx, gw = np.polynomial.legendre.leggauss(n)
+    gx = 0.5 * (gx + 1.0)
+    gw = 0.5 * gw
+    pts, wts = [], []
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                a, b, c = gx[i], gx[j], gx[k]
+                # map unit cube -> tet via collapsed coordinates
+                x = a * (1 - b) * (1 - c)
+                y = b * (1 - c)
+                z = c
+                w = gw[i] * gw[j] * gw[k] * (1 - b) * (1 - c) ** 2
+                pts.append((x, y, z))
+                wts.append(w)
+    return np.array(pts), np.array(wts)
+
+
+def cell_quadrature(dim: int, degree: int = 10):
+    """Cell quadrature in barycentric form: returns (N [nq, dim+1], w [nq])
+    with sum(w) = 1 (multiply by the cell measure to integrate) — N are the
+    P1 shape values at the quadrature points."""
+    if dim == 2:
+        pts, w = triangle_quadrature(degree)
+        N = np.column_stack([1.0 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]])
+        return N, w * 2.0
+    pts, w = tetrahedron_quadrature(degree)
+    N = np.column_stack([1.0 - pts.sum(axis=1), pts[:, 0], pts[:, 1], pts[:, 2]])
+    return N, w * 6.0
+
+
 def facet_quadrature(dim: int, degree: int = 10):
     """Quadrature on a membrane facet in barycentric form.
 

@@ -325,12 +325,14 @@ class KNPEMIAssembler:
             ion_off = s["ion_off"]
             for k in range(N):
                 rhs_rows.append(field_dof[ion_off + k][s["Vt_np"]].ravel())
-            if mms is not None:
-                rhs_rows.append(field_dof[s["phi_f"]][s["Vt_np"]].ravel())
         for f in list(range(N)) + [self.PHI_I]:
             rhs_rows.append(field_dof[f][mv].ravel())
         for f in list(range(nvar, nvar + N)) + [self.PHI_E]:
             rhs_rows.append(field_dof[f][mv].ravel())
+
+        if mms is not None:
+            self._setup_mms(rhs_rows, mverts, L_f, Nq, wq)
+
         self.rhs_rows = jnp.asarray(np.concatenate(rhs_rows), dtype=jnp.int32)
         self.rhs_keep = jnp.asarray(
             (~bc_flag[np.concatenate(rhs_rows)]).astype(np.float64), dtype=dtype)
@@ -371,6 +373,7 @@ class KNPEMIAssembler:
         "indices", "indptr", "row_ids", "nullspace", "src", "bc_flag",
         "mverts", "Nq", "wq", "L_f", "stim_facet_mask", "region_qp",
         "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
+        "_mms_arrays", "_mms_bc_entries",
     )
     SIDE_ATTRS = ("Vt", "K_e", "M_e")
 
@@ -403,6 +406,188 @@ class KNPEMIAssembler:
         R = np.broadcast_to(rows[:, :, None], shape)
         C = np.broadcast_to(cols[:, None, :], shape)
         return R.ravel(), C.ravel()
+
+    # ----------------------------------------------------------------------
+    # MMS verification support (reference KNPEMIx_problem.py:616-651 and
+    # setup_MMS_params :746-805)
+    # ----------------------------------------------------------------------
+
+    @staticmethod
+    def _oriented_normals(points, fverts, inside_pts):
+        """Unit facet normals pointing AWAY from `inside_pts` (one reference
+        point per facet, e.g. the adjacent intracellular cell centroid)."""
+        fp = points[fverts]
+        if points.shape[1] == 2:
+            t = fp[:, 1, :] - fp[:, 0, :]
+            n = np.stack([t[:, 1], -t[:, 0]], axis=1)
+        else:
+            n = np.cross(fp[:, 1, :] - fp[:, 0, :], fp[:, 2, :] - fp[:, 0, :])
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        n = n / norm
+        mid = fp.mean(axis=1)
+        flip = np.einsum("fd,fd->f", n, mid - inside_pts) < 0
+        n[flip] *= -1.0
+        return n
+
+    def _setup_mms(self, rhs_rows, mverts, L_f, Nq, wq):
+        from knp_emi_cgx_tpu.fem.p1 import cell_quadrature, facet_geometry
+
+        topo = self.topo
+        mesh = topo.mesh
+        dim = mesh.dim
+        fd = self.field_dof
+        N, nvar = self.N_ions, self.nvar
+        dtype = self.dtype
+        md = {}
+
+        # --- volume source quadrature per side ---
+        Nc, wc = cell_quadrature(dim, degree=10)
+        md["Ncell"] = jnp.asarray(Nc, dtype=dtype)
+        md["wcell"] = jnp.asarray(wc, dtype=dtype)
+        for si, s in enumerate(self._sides):
+            Vt_np = s["Vt_np"]
+            coords = mesh.points[Vt_np]                       # [nc, nv, dim]
+            md[f"qp_x_{si}"] = jnp.asarray(
+                np.einsum("cvd,qv->cqd", coords, Nc), dtype=dtype)
+            # cell measures (padded cells have zero mass => zero volume)
+            vol = np.asarray(s["M_e"]).sum(axis=(1, 2))
+            md[f"vol_{si}"] = jnp.asarray(vol, dtype=dtype)
+            for k in range(N):
+                rhs_rows.append(fd[s["ion_off"] + k][Vt_np].ravel())
+            rhs_rows.append(fd[s["phi_f"]][Vt_np].ravel())
+
+        # --- membrane facet qp coords + normals (out of intra, '+') ---
+        n_real = len(topo.membrane_cell_intra)
+        fqx = np.einsum("fvd,qv->fqd", mesh.points[mverts], Nq)
+        md["facet_qp_x"] = jnp.asarray(fqx, dtype=dtype)
+        normals = np.zeros((mverts.shape[0], dim))
+        intra_centroid = mesh.points[
+            mesh.cells[topo.membrane_cell_intra]].mean(axis=1)
+        normals[:n_real] = self._oriented_normals(
+            mesh.points, mverts[:n_real], intra_centroid)
+        md["facet_normal"] = jnp.asarray(normals, dtype=dtype)
+        for k in range(N):
+            rhs_rows.append(fd[k][mverts].ravel())
+        for k in range(N):
+            rhs_rows.append(fd[nvar + k][mverts].ravel())
+        rhs_rows.append(fd[self.PHI_I][mverts].ravel())
+        rhs_rows.append(fd[self.PHI_E][mverts].ravel())
+
+        # --- exterior boundary facets (ds terms, :629-630) --- the reference
+        # integrates over ALL exterior facets (untagged ds measure,
+        # mixed_dim_problem.py:736)
+        bmask = topo.exterior_facet_mask
+        bfacets = topo.facets[bmask]
+        bL = facet_geometry(mesh.points, bfacets)
+        bqx = np.einsum("fvd,qv->fqd", mesh.points[bfacets], Nq)
+        cell_centroid = mesh.points[
+            mesh.cells[topo.facet_cells[bmask, 0]]].mean(axis=1)
+        bn = self._oriented_normals(mesh.points, bfacets, cell_centroid)
+        md["bqp_x"] = jnp.asarray(bqx, dtype=dtype)
+        md["bnormal"] = jnp.asarray(bn, dtype=dtype)
+        md["bL"] = jnp.asarray(bL, dtype=dtype)
+        for k in range(N):
+            rhs_rows.append(fd[nvar + k][bfacets].ravel())
+        rhs_rows.append(fd[self.PHI_E][bfacets].ravel())
+
+        # --- Dirichlet values: extracellular exact fields at boundary dofs
+        # (KNPEMIx_problem.py:109-134 — MMS BCs only on the We fields) ---
+        bdofs_v = topo.boundary_dofs
+        bc_entries = {}
+        for k, ion in enumerate(self.params.ion_list):
+            f = nvar + k
+            dofs = fd[f][bdofs_v]
+            bc_entries[f"{ion['name']}_e"] = (
+                jnp.asarray(dofs[dofs >= 0], dtype=jnp.int32),
+                jnp.asarray(mesh.points[bdofs_v][dofs >= 0], dtype=dtype))
+        dofs = fd[self.PHI_E][bdofs_v]
+        bc_entries["phi_e"] = (
+            jnp.asarray(dofs[dofs >= 0], dtype=jnp.int32),
+            jnp.asarray(mesh.points[bdofs_v][dofs >= 0], dtype=dtype))
+        self._mms_bc_entries = bc_entries
+        self._mms_arrays = md
+
+    def mms_bc_values(self, t):
+        """Dirichlet boundary values from the exact extracellular solutions
+        at time t (jittable)."""
+        vals = jnp.zeros(self.n_dofs, dtype=self.dtype)
+        for name, (dofs, coords) in self._mms_bc_entries.items():
+            vals = vals.at[dofs].set(
+                self.mms.scalar(name)(coords, t).astype(self.dtype))
+        return vals
+
+    def _mms_rhs_values(self, t, alpha_i, alpha_e, Lw):
+        """Extra RHS contribution blocks, mirroring the row order appended in
+        `_setup_mms`."""
+        p = self.params
+        N = self.N_ions
+        dt = p.dt
+        md = self._mms_arrays
+        mms = self.mms
+        out = []
+
+        # volume sources
+        Ncell, wcell = md["Ncell"], md["wcell"]
+        for si, s in enumerate(self._sides):
+            qp_x = md[f"qp_x_{si}"]
+            vol = md[f"vol_{si}"]
+            side = "i" if si == 0 else "e"
+
+            def vint(fvals):
+                # [nc, nq] -> [nc, nv]: vol * sum_q w_q f N_a
+                return jnp.einsum("c,cq,q,qa->ca", vol, fvals, wcell, Ncell)
+
+            for k, ion in enumerate(p.ion_list):
+                f = mms.scalar(f"f_{ion['name']}_{side}")(qp_x, t)
+                out.append(dt * vint(f))
+            fphi = mms.scalar(f"f_phi_{side}")(qp_x, t)
+            out.append(-dt * vint(fphi))
+
+        # membrane facet corrections
+        fx = md["facet_qp_x"]
+        n = md["facet_normal"][:, None, :]                   # [n_mf, 1, dim]
+        TFi_n = jnp.einsum("fqd,fqd->fq", mms.vector("total_flux_intra")(fx, t),
+                           jnp.broadcast_to(n, fx.shape))
+        TFe_n = jnp.einsum("fqd,fqd->fq", mms.vector("total_flux_extra")(fx, t),
+                           jnp.broadcast_to(n, fx.shape))
+        dphi_dt = mms.scalar("dphi_m_dt")(fx, t)
+        phi_m_ex = mms.scalar("phi_m")(fx, t)
+        f_gamma = TFi_n - TFe_n
+        # per-ion Ich_k = phi_m (PassiveModel); f_phi_k identical per ion
+        f_phi_k = dphi_dt + phi_m_ex - TFi_n
+        f_phi_m = dphi_dt + N * phi_m_ex - TFi_n
+
+        def fvec(coef):
+            return jnp.einsum("fq,qa->fa", Lw * coef, self.Nq)
+
+        for k, ion in enumerate(p.ion_list):
+            z = ion["z"]
+            out.append((dt / (p.F * z)) * fvec(alpha_i[k] * f_phi_k))
+        for k, ion in enumerate(p.ion_list):
+            z = ion["z"]
+            out.append((-dt / (p.F * z)) * fvec(alpha_e[k] * (f_phi_k + f_gamma)))
+        out.append(dt * fvec(f_phi_m))
+        out.append(-dt * fvec(f_phi_m + f_gamma))
+
+        # exterior boundary terms
+        bx = md["bqp_x"]
+        bn = md["bnormal"][:, None, :]
+        bLw = md["bL"][:, None] * self.wq[None, :]
+
+        def bvec(coef):
+            return jnp.einsum("fq,qa->fa", bLw * coef, self.Nq)
+
+        Jn = {}
+        for ion in p.ion_list:
+            Jk = mms.vector(f"J_{ion['name']}_e")(bx, t)
+            Jn[ion["name"]] = jnp.einsum(
+                "fqd,fqd->fq", Jk, jnp.broadcast_to(bn, bx.shape))
+        for k, ion in enumerate(p.ion_list):
+            out.append(-dt * bvec(Jn[ion["name"]]))
+        out.append(sum(p.F * ion["z"] * bvec(Jn[ion["name"]])
+                       for ion in p.ion_list))
+        return out
 
     # ----------------------------------------------------------------------
     # Device-side per-step assembly (jittable)
@@ -491,8 +676,6 @@ class KNPEMIAssembler:
                 fvals = u[ion_off + k][Vt] + dt * self.src[ion_off + k][Vt]
                 rhs_vals.append(jnp.einsum("cab,cb->ca", M_e, fvals))
             dyn_vals.append(phi_coef[:, None, None] * K_e)
-            if self.mms is not None:
-                rhs_vals.append(self.mms.volume_phi_rhs(self, s, t))
 
         # ---- facet quantities ----
         q = self.facet_qp_fields(u, phi_m, gates)
@@ -540,6 +723,9 @@ class KNPEMIAssembler:
             r_e = (1.0 / (p.F * z)) * (dt * I_ch[k] - alpha_e[k] * p.C_M * phim_q)
             rhs_vals.append(fvec(r_e))
         rhs_vals.append(fvec((1.0 / p.F) * (dt * I_tot - p.C_M * phim_q)))
+
+        if self.mms is not None:
+            rhs_vals += self._mms_rhs_values(t, alpha_i, alpha_e, Lw)
 
         dyn_flat = jnp.concatenate([v.reshape(-1) for v in dyn_vals])
         rhs_flat = jnp.concatenate([v.reshape(-1) for v in rhs_vals])

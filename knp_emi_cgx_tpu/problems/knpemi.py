@@ -61,6 +61,36 @@ class ProblemKNPEMI:
         self.params: KNPEMIParams = params_from_config(config)
         self.dtype = dtype
 
+        self.mms = None
+        if config.mms_test:
+            # MMS runs on the generated unit square/cube with per-plane
+            # membrane tags (mixed_dim_problem.py:683-695): gamma tags are
+            # 1..4 (2D) / 1..6 (3D), exterior boundary 8.
+            from knp_emi_cgx_tpu.mesh.generation import (
+                generate_square_geometry, generate_cube_geometry)
+            from knp_emi_cgx_tpu.verification.mms import KNPEMIMMS
+
+            if mesh is None:
+                gen = (generate_square_geometry if config.mms_dim == 2
+                       else generate_cube_geometry)
+                mesh, tagger = gen(config.mms_n_mesh, mms=True)
+                mesh._facet_tagger = tagger
+            config.gamma_tags = tuple(range(1, 2 * config.mms_dim + 1))
+            config.boundary_tags = (8,)
+            config.intra_tags = (1,)
+            config.extra_tag = (2,)
+            config.dirichlet_bcs = True
+            self.mms = KNPEMIMMS(config.mms_dim)
+            # MMS uses unit constants and unit-diffusivity ions with z = +-1
+            # (setup_MMS_params, KNPEMIx_problem.py:750-805)
+            assert np.allclose(
+                [self.params.C_M, self.params.F, self.params.R,
+                 self.params.psi], 1.0), \
+                "MMS requires all physical constants equal to 1"
+            for ion in self.params.ion_list:
+                ion["Di"] = ion["De"] = 1.0
+                ion["z"] = 1.0 if ion["name"] in ("Na", "K") else -1.0
+
         if topology is not None:
             self.topo = topology
         else:
@@ -131,6 +161,7 @@ class ProblemKNPEMI:
             self.topo, self.params, self.ionic_models,
             dtype=self.dtype,
             dirichlet_bcs=self.cfg.dirichlet_bcs,
+            mms=self.mms,
         )
 
     # ------------------------------------------------------------------
@@ -144,6 +175,33 @@ class ProblemKNPEMI:
         nf = a.nf
         u = np.zeros((nf, nV))
         phi_m = np.zeros(nV)
+
+        if self.mms is not None:
+            # interpolate exact solutions at t=0 (KNPEMIx_problem.py:363-431);
+            # phi fields get the "init" visualisation values and phi_m_prev
+            # starts at phi_i_init - phi_e_init = 0, exactly as the reference
+            pts = self.topo.mesh.points
+            for k, ion in enumerate(p.ion_list):
+                u[k] = self.mms.exact_numpy(f"{ion['name']}_i", pts, 0.0)
+                u[a.nvar + k] = self.mms.exact_numpy(f"{ion['name']}_e", pts, 0.0)
+            u[a.PHI_I] = self.mms.exact_numpy("phi_e", pts, 0.0)  # = p(x)
+            u[a.PHI_E] = self.mms.exact_numpy("phi_e", pts, 0.0)
+            phi_m[:] = 0.0
+            x = np.zeros(a.n_dofs)
+            fd = a.field_dof
+            for f in range(nf):
+                active = np.nonzero(fd[f] >= 0)[0]
+                x[fd[f, active]] = u[f, active]
+            dt = self.dtype
+            return KNPEMIState(
+                u=jnp.asarray(u, dtype=dt),
+                phi_m=jnp.asarray(phi_m, dtype=dt),
+                n=jnp.full((nV,), p.n_init, dtype=dt),
+                m=jnp.full((nV,), p.m_init, dtype=dt),
+                h=jnp.full((nV,), p.h_init, dtype=dt),
+                t=jnp.asarray(0.0, dtype=dt),
+                x=jnp.asarray(x, dtype=dt),
+            )
 
         glia = self.cfg.glia_flag
         for k, ion in enumerate(p.ion_list):
@@ -202,6 +260,35 @@ class ProblemKNPEMI:
         s = a._sides[side]
         vals = state.u[field][s["Vt"]]
         return jnp.sqrt(jnp.einsum("cab,ca,cb->", s["M_e"], vals, vals))
+
+    def mms_errors(self, state: KNPEMIState):
+        """L2 errors of all 8 fields vs the exact MMS solutions at the
+        current time, integrated with the degree-10 cell rule
+        (print_errors, KNPEMIx_problem.py:845-907)."""
+        from knp_emi_cgx_tpu.fem.p1 import cell_quadrature
+
+        a = self.assembler
+        mesh = self.topo.mesh
+        Nc, wc = cell_quadrature(mesh.dim, degree=10)
+        t = float(state.t)
+        u = np.asarray(state.u, dtype=np.float64)
+        errors = {}
+        for si, s in enumerate(a._sides):
+            side = "i" if si == 0 else "e"
+            Vt = np.asarray(s["Vt"])
+            coords = mesh.points[Vt]                       # [nc, nv, dim]
+            qp_x = np.einsum("cvd,qv->cqd", coords, Nc)
+            vol = np.asarray(s["M_e"], dtype=np.float64).sum(axis=(1, 2))
+            names = ([(k, f"{ion['name']}_{side}")
+                      for k, ion in enumerate(self.params.ion_list)]
+                     + [(self.params.N_ions, f"phi_{side}")])
+            off = 0 if si == 0 else a.nvar
+            for k, name in names:
+                uh = np.einsum("cv,qv->cq", u[off + k][Vt], Nc)
+                ex = self.mms.exact_numpy(name, qp_x, t)
+                err2 = np.einsum("c,cq,q->", vol, (uh - ex) ** 2, wc)
+                errors[name] = float(np.sqrt(err2))
+        return errors
 
     def conservation(self, state: KNPEMIState):
         """Total amount of each ion over both compartments
@@ -285,7 +372,10 @@ class SolverKNPEMI:
                     n_, m_, h_ = upd(n_, m_, h_, state.phi_m, params.phi_rest,
                                      dt_ode, hh.time_steps_ode)
                 gates = {"n": n_, "m": m_, "h": h_}
-                vals, b = a.assemble(state.u, state.phi_m, gates, t_new)
+                bc_values = (a.mms_bc_values(t_new)
+                             if (a.has_bcs and a.mms is not None) else None)
+                vals, b = a.assemble(state.u, state.phi_m, gates, t_new,
+                                     bc_values=bc_values)
 
                 if direct:
                     if has_neumann:
