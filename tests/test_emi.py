@@ -1,0 +1,102 @@
+"""EMI (2-field) module tests.
+
+The convergence check replicates the reference's self-contained EMI square
+verification (`EMI/tests/square_test.py`): exact solutions
+    ui = sin(2 pi x) sin(2 pi y) (1 + exp(-t)),   ue = sin(2 pi x) sin(2 pi y)
+with sources fi = 8 pi^2 ui, fe = 8 pi^2 ue, passive membrane I_ch = phi_M,
+C_M = sigma_i = sigma_e = 1, grounded (ue = 0) exterior boundary.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
+from knp_emi_cgx_tpu.problems.emi import (ProblemEMI, SolverEMI,
+                                          EMIPassiveModel, EMIHodgkinHuxley)
+
+
+def _emi_cfg(dt, steps, extra=None):
+    cfg = {
+        "problem_type": "EMI",
+        "dt": dt, "time_steps": steps,
+        "C_M": 1.0, "sigma_i": 1.0, "sigma_e": 1.0,
+        "ics_tags": [1], "ecs_tags": [2], "boundary_tags": [3],
+        "membrane_tags": [4],
+        "dirichlet_bcs": True,
+        "initial_conditions": {"phi_e": 0.0},
+        "solver": {"direct": True, "output": {}},
+    }
+    cfg.update(extra or {})
+    return cfg
+
+
+def _sinsin(pts):
+    return np.sin(2 * np.pi * pts[..., 0]) * np.sin(2 * np.pi * pts[..., 1])
+
+
+def _run_mms(N, dt=1e-3, steps=2, direct=True):
+    mesh, tagger = generate_square_geometry(N)
+    mesh._facet_tagger = tagger
+
+    def src_i(pts, t):
+        s = jnp.sin(2 * jnp.pi * pts[..., 0]) * jnp.sin(2 * jnp.pi * pts[..., 1])
+        return 8 * jnp.pi ** 2 * s * (1.0 + jnp.exp(-t))
+
+    def src_e(pts, t):
+        s = jnp.sin(2 * jnp.pi * pts[..., 0]) * jnp.sin(2 * jnp.pi * pts[..., 1])
+        return 8 * jnp.pi ** 2 * s
+
+    cfg = _emi_cfg(dt, steps)
+    if not direct:
+        cfg["solver"] = {"direct": False,
+                         "ksp_settings": {"ksp_rtol": 1e-10}, "output": {}}
+    problem = ProblemEMI(cfg, mesh=mesh, source_i=src_i, source_e=src_e,
+                         phi_m_init_fn=_sinsin)
+    problem.init_ionic_models([EMIPassiveModel()])
+    solver = SolverEMI(problem, cfg["solver"])
+    state = solver.solve()
+
+    # L2 errors vs exact at final time (P1-quadrature on cells)
+    t = float(state.t)
+    errs = {}
+    for name, f, exact in (
+        ("phi_i", 0, lambda p: _sinsin(p) * (1 + np.exp(-t))),
+        ("phi_e", 1, lambda p: _sinsin(p)),
+    ):
+        Vt, M_e = problem._side_geom[f]
+        uh = np.asarray(state.phi[f])[Vt]
+        ex = exact(problem.topo.mesh.points)[Vt]
+        d = uh - ex
+        errs[name] = np.sqrt(abs(np.einsum("cab,ca,cb->", M_e, d, d)))
+    return errs, solver
+
+
+def test_emi_mms_convergence():
+    e1, _ = _run_mms(8)
+    e2, _ = _run_mms(16)
+    e3, _ = _run_mms(32)
+    for f in ("phi_i", "phi_e"):
+        r = np.log2(e2[f] / e3[f])
+        assert r > 1.7, f"{f}: errors {e1[f]:.3e} {e2[f]:.3e} {e3[f]:.3e}, rate {r:.2f}"
+
+
+def test_emi_direct_vs_iterative():
+    ed, _ = _run_mms(16, direct=True)
+    ei, solver = _run_mms(16, direct=False)
+    for f in ("phi_i", "phi_e"):
+        assert abs(ed[f] - ei[f]) / ed[f] < 1e-4
+    assert max(solver.iterations) < 40
+
+
+def test_emi_hh_smoke():
+    mesh, tagger = generate_square_geometry(16)
+    mesh._facet_tagger = tagger
+    cfg = _emi_cfg(2e-5, 5, {"C_M": 0.02, "dirichlet_bcs": False,
+                             "initial_conditions": {"phi_m": -0.06774}})
+    problem = ProblemEMI(cfg, mesh=mesh)
+    problem.init_ionic_models([EMIHodgkinHuxley()])
+    solver = SolverEMI(problem, cfg["solver"])
+    state = solver.solve()
+    phi_m = np.asarray(state.phi_m)[problem.topo.membrane_verts].ravel()
+    assert np.all(np.isfinite(phi_m))
+    assert np.all(phi_m > -0.080) and np.all(phi_m < -0.050)
