@@ -32,9 +32,9 @@ os.chdir(os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-N_MESH = 20          # 20^3 hexes -> 48k tets, 9261 vertices, ~38k dofs
-WARMUP = 3
-STEPS = 20
+N_MESH = 24          # 24^3 hexes -> 83k tets, 15625 vertices, ~61k dofs
+WARMUP = 5
+STEPS = 200
 BASELINE_US_PER_DOF_STEP = 5.94
 
 
@@ -60,6 +60,9 @@ def main():
 
     n_dofs = problem.assembler.n_dofs
 
+    # NOTE: no device->host readback before or during timing — the first
+    # D2H flips the axon runtime into a synchronous per-kernel mode that is
+    # ~3000x slower per step (block_until_ready is safe; int(its) is not).
     for _ in range(WARMUP):
         state, its = step(state)
     jax.block_until_ready(state)

@@ -268,3 +268,54 @@ def generate_cube_geometry(n: int, mms: bool = False):
     mesh.cell_tags = mark_subdomains_cube(mesh)
     tagger = mark_boundaries_cube_mms if mms else mark_boundaries_cube
     return mesh, tagger
+
+
+def generate_two_cell_geometry(n: int = 16):
+    """Unit square with TWO separate intracellular boxes — for neuron+glia
+    (three-compartment) runs following the reference's tissue-config tag
+    convention (configs/5m/100c.yaml): per-cell membrane tags equal to the
+    cell tags, ECS tag 1.
+
+      cells:  1 = ECS, 2 = neuron box [0.125,0.375]^2,
+              3 = glia box [0.625,0.875]^2
+      facets: tag 2 on the neuron membrane, 3 on the glia membrane,
+              4 exterior boundary, 5 other
+    """
+    if n % 8:
+        raise ValueError("n must be a multiple of 8 for aligned boxes")
+    mesh = unit_square_mesh(n, n)
+
+    def in_box(x, lo, hi):
+        ok = np.ones(x.shape[0], dtype=bool)
+        for d in range(2):
+            ok &= (x[:, d] >= lo - 1e-12) & (x[:, d] <= hi + 1e-12)
+        return ok
+
+    neuron_v = in_box(mesh.points, 0.125, 0.375)
+    glia_v = in_box(mesh.points, 0.625, 0.875)
+    tags = np.ones(mesh.num_cells, dtype=np.int32)
+    tags[neuron_v[mesh.cells].all(axis=1)] = 2
+    tags[glia_v[mesh.cells].all(axis=1)] = 3
+    mesh.cell_tags = tags
+
+    def tagger(mesh, facets, exterior_mask):
+        fp = mesh.points[facets]
+        out = np.full(facets.shape[0], 5, dtype=np.int32)
+        out[exterior_mask] = 4
+
+        def on_box_boundary(lo, hi):
+            on = np.zeros(facets.shape[0], dtype=bool)
+            for axis in range(2):
+                for val in (lo, hi):
+                    coords = fp[:, :, axis]
+                    other = fp[:, :, 1 - axis]
+                    hit = np.isclose(coords, val).all(axis=1)
+                    rng = ((other >= lo - 1e-12) & (other <= hi + 1e-12)).all(axis=1)
+                    on |= hit & rng
+            return on
+
+        out[on_box_boundary(0.125, 0.375)] = 2
+        out[on_box_boundary(0.625, 0.875)] = 3
+        return out
+
+    return mesh, tagger

@@ -83,30 +83,45 @@ def build_topology(
     dim = mesh.dim
     nv = dim + 1
 
-    # Unique facets from all cell facets
-    cf = _cell_facets(cells)                     # [n_cells, nv, dim]
-    all_facets = np.sort(cf.reshape(-1, dim), axis=1)
-    facets, inverse = np.unique(all_facets, axis=0, return_inverse=True)
-    n_facets = facets.shape[0]
-    inverse = inverse.reshape(cells.shape[0], nv)
+    # Unique facets + facet->cell adjacency: native hash-map kernel when
+    # available (knp_native.cpp — the DOLFINx-topology-core equivalent),
+    # numpy sort-unique fallback otherwise.  Both paths canonicalise to
+    # lexicographic facet order so downstream structures are identical.
+    native_result = None
+    try:
+        from knp_emi_cgx_tpu import native
 
-    # facet -> adjacent cells (at most 2)
-    facet_cells = np.full((n_facets, 2), -1, dtype=np.int64)
-    counts = np.zeros(n_facets, dtype=np.int64)
-    cell_ids = np.repeat(np.arange(cells.shape[0]), nv)
-    flat = inverse.ravel()
-    order = np.argsort(flat, kind="stable")
-    flat_sorted = flat[order]
-    cell_sorted = cell_ids[order]
-    # first/second occurrence per facet
-    first_mask = np.ones_like(flat_sorted, dtype=bool)
-    first_mask[1:] = flat_sorted[1:] != flat_sorted[:-1]
-    facet_cells[flat_sorted[first_mask], 0] = cell_sorted[first_mask]
-    second_mask = ~first_mask
-    facet_cells[flat_sorted[second_mask], 1] = cell_sorted[second_mask]
-    counts = (facet_cells >= 0).sum(axis=1)
-    if np.any(counts > 2) or np.any(counts == 0):
-        raise RuntimeError("Non-manifold mesh: facet shared by >2 cells")
+        native_result = native.build_facets(cells)
+    except Exception:
+        native_result = None
+
+    if native_result is not None:
+        facets, facet_cells = native_result
+        order = np.lexsort(facets.T[::-1])
+        facets = facets[order].astype(cells.dtype)
+        facet_cells = facet_cells[order]
+        n_facets = facets.shape[0]
+    else:
+        cf = _cell_facets(cells)                     # [n_cells, nv, dim]
+        all_facets = np.sort(cf.reshape(-1, dim), axis=1)
+        facets, inverse = np.unique(all_facets, axis=0, return_inverse=True)
+        n_facets = facets.shape[0]
+        inverse = inverse.reshape(cells.shape[0], nv)
+
+        facet_cells = np.full((n_facets, 2), -1, dtype=np.int64)
+        cell_ids = np.repeat(np.arange(cells.shape[0]), nv)
+        flat = inverse.ravel()
+        order = np.argsort(flat, kind="stable")
+        flat_sorted = flat[order]
+        cell_sorted = cell_ids[order]
+        first_mask = np.ones_like(flat_sorted, dtype=bool)
+        first_mask[1:] = flat_sorted[1:] != flat_sorted[:-1]
+        facet_cells[flat_sorted[first_mask], 0] = cell_sorted[first_mask]
+        second_mask = ~first_mask
+        facet_cells[flat_sorted[second_mask], 1] = cell_sorted[second_mask]
+        counts = (facet_cells >= 0).sum(axis=1)
+        if np.any(counts > 2) or np.any(counts == 0):
+            raise RuntimeError("Non-manifold mesh: facet shared by >2 cells")
 
     exterior_mask = facet_cells[:, 1] < 0
 

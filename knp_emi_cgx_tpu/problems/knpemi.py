@@ -229,6 +229,11 @@ class ProblemKNPEMI:
             active = np.nonzero(fd[f] >= 0)[0]
             x[fd[f, active]] = u[f, active]
 
+        # host copy kept for the preconditioner build: reading state.u back
+        # from the device would flip the axon runtime into a synchronous
+        # per-kernel mode (~3000x step slowdown) — never D2H on the hot path
+        self._u0_np = u.copy()
+
         dt = self.dtype
         return KNPEMIState(
             u=jnp.asarray(u, dtype=dt),
@@ -334,8 +339,10 @@ class SolverKNPEMI:
         has_neumann = not (p.cfg.dirichlet_bcs or p.cfg.pin_ecs_potential)
 
         if not self.direct and self._pc is None:
-            self._pc = BlockDiagonalPreconditioner(a, np.asarray(state0.u),
-                                                   mode=self.pc_mode)
+            u0 = getattr(p, "_u0_np", None)
+            if u0 is None:
+                u0 = np.asarray(state0.u)   # fallback: costs the D2H switch
+            self._pc = BlockDiagonalPreconditioner(a, u0, mode=self.pc_mode)
 
         # gather maps for scattering x back into field arrays
         fd = a.field_dof
@@ -427,14 +434,23 @@ class SolverKNPEMI:
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
 
+        its_device = []
         for i in range(1, self.time_steps + 1):
             tic = time.perf_counter()
             state, its = self._step_fn(state)
-            if not self.direct:
-                self.iterations.append(int(its))
-            self.solve_time.append(time.perf_counter() - tic)
-            if callback is not None:
+            if callback is None:
+                # keep the loop free of device->host reads (axon switches to
+                # a synchronous per-kernel mode after the first readback);
+                # iteration counts are materialised after the loop
+                its_device.append(its)
+            else:
+                jax.block_until_ready(state)
+                if not self.direct:
+                    self.iterations.append(int(its))
                 callback(i, state)
+            self.solve_time.append(time.perf_counter() - tic)
+        if its_device and not self.direct:
+            self.iterations.extend(int(v) for v in its_device)
         return state
 
     def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:

@@ -38,7 +38,17 @@ def _strength_graph(A: sp.csr_matrix, theta: float = 0.08) -> sp.csr_matrix:
 
 
 def _aggregate(C: sp.csr_matrix) -> np.ndarray:
-    """Greedy aggregation (standard SA pass 1+2). Returns agg id per node."""
+    """Greedy aggregation (standard SA pass 1+2). Returns agg id per node.
+    Uses the native C++ kernel when available (knp_native.cpp — the hypre
+    coarsening equivalent); pure-Python fallback below."""
+    try:
+        from knp_emi_cgx_tpu import native
+
+        res = native.aggregate(C.indptr, C.indices)
+        if res is not None:
+            return res[0]
+    except Exception:
+        pass
     n = C.shape[0]
     agg = np.full(n, -1, dtype=np.int64)
     next_agg = 0
