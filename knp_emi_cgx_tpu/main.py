@@ -62,6 +62,9 @@ def main_yaml(yaml_file: str, resume: str | None = None,
             raise ValueError(f"Unknown generated mesh spec: {spec}")
         mesh._facet_tagger = tagger
 
+    if cfg.problem_type == "EMI":
+        return _main_emi(cfg, mesh, dtype)
+
     problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=dtype)
     models = build_models(problem, yaml_file)
     problem.init_ionic_models(models)
@@ -72,6 +75,13 @@ def main_yaml(yaml_file: str, resume: str | None = None,
         solve_steady_state(problem)
 
     solver = SolverKNPEMI(problem, cfg.solver_config)
+    out_flags = (cfg.solver_config or {}).get("output", {}) or {}
+    if out_flags.get("save_mat"):
+        state = problem.initial_state()
+        solver._build_step(state)  # ensures preconditioner state etc.
+        solver.dump_system(state, cfg.output_dir)
+        print(f"System matrix dumped to {cfg.output_dir} (save_mat mode)")
+        return problem, solver, state
     outputs = KNPEMIOutputs(problem, solver, cfg.solver_config)
 
     if resume:
@@ -96,6 +106,24 @@ def main_yaml(yaml_file: str, resume: str | None = None,
     norms = problem.l2_norms(state)
     print(f"L2 norm phi_i = {float(norms['phi_i'])}")
     print(f"L2 norm phi_e = {float(norms['phi_e'])}")
+    return problem, solver, state
+
+
+def _main_emi(cfg, mesh, dtype):
+    """EMI problem driver (reference EMI/main.py workflow)."""
+    from knp_emi_cgx_tpu.problems.emi import (ProblemEMI, SolverEMI,
+                                              EMIHodgkinHuxley,
+                                              EMIPassiveModel)
+
+    problem = ProblemEMI(cfg, mesh=mesh, dtype=dtype)
+    model = (EMIHodgkinHuxley() if cfg.raw.get("ionic_model", "HH") == "HH"
+             else EMIPassiveModel())
+    problem.init_ionic_models([model])
+    solver = SolverEMI(problem, cfg.solver_config)
+    state = solver.solve()
+    norms = problem.l2_norms(state)
+    print(f"L2 norm phi_i = {norms['phi_i']}")
+    print(f"L2 norm phi_e = {norms['phi_e']}")
     return problem, solver, state
 
 

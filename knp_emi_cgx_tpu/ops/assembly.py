@@ -99,14 +99,27 @@ class KNPEMIAssembler:
         # Dirichlet boundary dofs (KNPEMIx_problem.py:96-198)
         # ------------------------------------------------------------------
         bc_flag = np.zeros(self.n_dofs, dtype=bool)
+        bc_const = np.zeros(self.n_dofs)
         if dirichlet_bcs:
             for f in range(nf):
                 d = field_dof[f, topo.boundary_dofs]
                 d = d[d >= 0]
                 bc_flag[d] = True
+                if mms is None:
+                    # constant Dirichlet values from the initial conditions
+                    # (KNPEMIx_problem.py:136-162): concentrations pinned to
+                    # their inits, phi_i to phi_m_init, phi_e to 0
+                    if f < nvar - 1:
+                        bc_const[d] = p.ion_list[f]["ki_init"]
+                    elif f == self.PHI_I:
+                        bc_const[d] = p.phi_m_init
+                    elif f != self.PHI_E:
+                        bc_const[d] = p.ion_list[f - nvar]["ke_init"]
         if pinned_dofs is not None:
-            bc_flag[pinned_dofs] = True
+            bc_flag[np.asarray(pinned_dofs)] = True
         self.bc_flag_np = bc_flag
+        self.const_bc_values_np = bc_const
+        self.const_bc_values = jnp.asarray(bc_const, dtype=dtype)
         self.has_bcs = bool(bc_flag.any())
 
         # ------------------------------------------------------------------
@@ -373,7 +386,7 @@ class KNPEMIAssembler:
         "indices", "indptr", "row_ids", "nullspace", "src", "bc_flag",
         "mverts", "Nq", "wq", "L_f", "stim_facet_mask", "region_qp",
         "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
-        "_mms_arrays", "_mms_bc_entries",
+        "_mms_arrays", "_mms_bc_entries", "const_bc_values",
     )
     SIDE_ATTRS = ("Vt", "K_e", "M_e")
 
@@ -738,7 +751,7 @@ class KNPEMIAssembler:
 
         if self.has_bcs:
             if bc_values is None:
-                raise ValueError("bc_values required when Dirichlet BCs are active")
+                bc_values = self.const_bc_values
             sv, sr, sc = self._lift_static
             lift = jax.ops.segment_sum(sv * bc_values[sc], sr,
                                        num_segments=self.n_dofs)

@@ -157,12 +157,66 @@ class ProblemKNPEMI:
                 f"Mismatch between membrane tags {sorted(gamma)} and ionic "
                 f"model tags {sorted(covered)}")
 
+        # pin_ecs_potential: ground phi_e at one non-membrane vertex
+        # (KNPEMIx_problem.py:163-196) — makes the system nonsingular
+        pinned = None
+        if self.cfg.pin_ecs_potential and not self.cfg.dirichlet_bcs:
+            mverts = set(np.unique(self.topo.membrane_verts).tolist())
+            pin_vertex = next(int(v) for v in self.topo.extra_dofs
+                              if int(v) not in mverts)
+            nvar = self.params.N_ions + 1
+            # field_dof not built yet; compute the monolithic index directly
+            ni = len(self.topo.intra_dofs)
+            ne = len(self.topo.extra_dofs)
+            rank = int(np.searchsorted(self.topo.extra_dofs, pin_vertex))
+            pinned = np.array([nvar * ni + self.params.N_ions * ne + rank])
+            self._pinned_vertex = pin_vertex
+
+        # ion injection source terms (mixed_dim_problem.py:496-540,
+        # KNPEMIx_problem.py:200-218): 5 nA of K+/Cl- injected in a box of
+        # half-width extent/10 around the mesh centre
+        sources = None
+        if self.cfg.source_terms == "ion_injection":
+            sources = self._build_injection_sources()
+
         self.assembler = KNPEMIAssembler(
             self.topo, self.params, self.ionic_models,
             dtype=self.dtype,
             dirichlet_bcs=self.cfg.dirichlet_bcs,
+            pinned_dofs=pinned,
+            source_vertex_values=sources,
             mms=self.mms,
         )
+
+    def _build_injection_sources(self):
+        from knp_emi_cgx_tpu.fem.p1 import cell_geometry
+
+        mesh = self.topo.mesh
+        p = self.params
+        lo = mesh.points.min(axis=0)
+        hi = mesh.points.max(axis=0)
+        center = 0.5 * (lo + hi)
+        delta = (hi[0] - lo[0]) / 10.0
+        inside_v = np.all(np.abs(mesh.points - center) <= delta + 1e-14,
+                          axis=1)
+        inj_cells = inside_v[mesh.cells].all(axis=1)
+        _, vols = cell_geometry(mesh.points, mesh.cells)
+        vol = vols[inj_cells].sum()
+        if vol == 0:
+            raise RuntimeError("Ion injection region contains no cells")
+        I = 5e-9                      # 5 nA (KNPEMIx_problem.py:211)
+        src = I / p.F / vol           # [mol/m^3/s]
+        inj_verts = np.unique(mesh.cells[inj_cells].ravel())
+        nvar = p.N_ions + 1
+        out = {}
+        for name in ("K", "Cl"):
+            f = nvar + p.ion_index[name]   # extracellular fields
+            vals = np.zeros(mesh.num_points)
+            vals[inj_verts] = src
+            out[f] = vals
+        self.injection_volume = float(vol)
+        self.injection_cells = np.nonzero(inj_cells)[0]
+        return out
 
     # ------------------------------------------------------------------
     def initial_state(self) -> KNPEMIState:
@@ -337,6 +391,7 @@ class SolverKNPEMI:
         a = p.assembler
         params = p.params
         has_neumann = not (p.cfg.dirichlet_bcs or p.cfg.pin_ecs_potential)
+        assert has_neumann == (not a.has_bcs)
 
         if not self.direct and self._pc is None:
             u0 = getattr(p, "_u0_np", None)
@@ -452,6 +507,23 @@ class SolverKNPEMI:
         if its_device and not self.direct:
             self.iterations.extend(int(v) for v in its_device)
         return state
+
+    def dump_system(self, state: KNPEMIState, out_dir: str):
+        """Assemble once and dump the system matrix/vector to npy in the
+        reference's COO layout (misc.py:16-22 `dump`, save_mat flag —
+        KNPEMIx_solver.py:424-431)."""
+        import os
+
+        p = self.problem
+        a = p.assembler
+        gates = {"n": state.n, "m": state.m, "h": state.h}
+        vals, b = a.assemble(state.u, state.phi_m, gates,
+                             state.t + p.params.dt)
+        rows = a.csr_rows_np
+        cols = a.csr_cols_np
+        np.save(os.path.join(out_dir, "Amat.npy"),
+                np.c_[rows, cols, np.asarray(vals)])
+        np.save(os.path.join(out_dir, "bvec.npy"), np.asarray(b))
 
     def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:
         """Pure on-device time loop (lax.scan) — no host round-trips; used
