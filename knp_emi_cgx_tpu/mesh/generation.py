@@ -270,6 +270,60 @@ def generate_cube_geometry(n: int, mms: bool = False):
     return mesh, tagger
 
 
+def generate_circle_geometry(n_rings: int = 16, n_theta: int = 48,
+                             membrane_ring_frac: float = 0.5,
+                             radius: float = 1.0):
+    """Disk with a concentric circular membrane — the reference's gmsh
+    circle-in-circle geometry (`utils/dfx_mesh_creation.py:107-183`) built
+    natively (no gmsh in this environment): a polar triangulation with a
+    centre fan and annulus rings, the membrane placed exactly on a vertex
+    ring.
+
+      cell tags:  1 = inside the membrane ring, 2 = outside
+      facet tags: 3 = outer boundary, 4 = membrane circle, 5 = other
+    """
+    m_ring = max(1, int(round(membrane_ring_frac * n_rings)))
+    r_m = radius * m_ring / n_rings
+
+    pts = [(0.0, 0.0)]
+    ring_start = [None]  # index of first vertex of ring k (k>=1)
+    for k in range(1, n_rings + 1):
+        ring_start.append(len(pts))
+        r = radius * k / n_rings
+        for j in range(n_theta):
+            a = 2 * np.pi * j / n_theta
+            pts.append((r * np.cos(a), r * np.sin(a)))
+    points = np.asarray(pts)
+
+    cells = []
+    # centre fan
+    s1 = ring_start[1]
+    for j in range(n_theta):
+        cells.append((0, s1 + j, s1 + (j + 1) % n_theta))
+    # annuli
+    for k in range(1, n_rings):
+        a0, b0 = ring_start[k], ring_start[k + 1]
+        for j in range(n_theta):
+            j1 = (j + 1) % n_theta
+            cells.append((a0 + j, b0 + j, b0 + j1))
+            cells.append((a0 + j, b0 + j1, a0 + j1))
+    cells = np.asarray(cells, dtype=np.int32)
+
+    mesh = SimplexMesh(points=points, cells=cells)
+    centroids_r = np.linalg.norm(points[cells].mean(axis=1), axis=1)
+    mesh.cell_tags = np.where(centroids_r < r_m, 1, 2).astype(np.int32)
+
+    def tagger(mesh, facets, exterior_mask):
+        fr = np.linalg.norm(mesh.points[facets], axis=2)
+        tags = np.full(facets.shape[0], 5, dtype=np.int32)
+        tags[exterior_mask] = 3
+        on_membrane = np.all(np.isclose(fr, r_m, rtol=1e-10), axis=1)
+        tags[on_membrane & ~exterior_mask] = 4
+        return tags
+
+    return mesh, tagger
+
+
 def generate_two_cell_geometry(n: int = 16):
     """Unit square with TWO separate intracellular boxes — for neuron+glia
     (three-compartment) runs following the reference's tissue-config tag

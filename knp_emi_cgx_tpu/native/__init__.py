@@ -57,6 +57,13 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.coalesce_coo.restype = ctypes.c_int64
+    lib.coalesce_coo.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
     lib.partition_bfs.restype = None
     lib.partition_bfs.argtypes = [
         ctypes.c_int64,
@@ -102,6 +109,19 @@ def aggregate(indptr: np.ndarray, indices: np.ndarray):
     agg = np.empty(n, dtype=np.int64)
     n_agg = lib.aggregate(n, indptr, indices, agg)
     return agg, int(n_agg)
+
+
+def coalesce_coo(keys: np.ndarray):
+    """Sorted-unique + inverse for packed COO keys (np.unique equivalent).
+    Returns (unique_sorted, inverse) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    out_u = np.empty_like(keys)
+    out_inv = np.empty(keys.shape[0], dtype=np.int32)
+    nu = lib.coalesce_coo(keys.shape[0], keys, out_u, out_inv)
+    return out_u[:nu].copy(), out_inv
 
 
 def partition(indptr: np.ndarray, indices: np.ndarray, n_parts: int):

@@ -158,4 +158,45 @@ void partition_bfs(int64_t n, const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Coalesce COO keys (row*n_cols + col) into sorted unique CSR slots.
+//   keys:        [n] packed int64 keys
+//   out_unique:  [n] buffer; first n_unique entries = sorted unique keys
+//   out_inverse: [n] slot index of each entry in the sorted unique array
+// Returns n_unique.  Hash-map based: ~3x faster than a sort-unique over the
+// full key stream for FE assembly patterns (each key repeated ~5-10x).
+// ---------------------------------------------------------------------------
+int64_t coalesce_coo(int64_t n, const int64_t* keys, int64_t* out_unique,
+                     int32_t* out_inverse) {
+  std::unordered_map<int64_t, int32_t> table;
+  table.reserve(static_cast<size_t>(n / 4 + 16));
+  std::vector<int64_t> uniq;
+  uniq.reserve(n / 4 + 16);
+  std::vector<int32_t> tmp_id(n);
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = table.find(keys[i]);
+    if (it == table.end()) {
+      int32_t id = static_cast<int32_t>(uniq.size());
+      table.emplace(keys[i], id);
+      uniq.push_back(keys[i]);
+      tmp_id[i] = id;
+    } else {
+      tmp_id[i] = it->second;
+    }
+  }
+  const int64_t nu = static_cast<int64_t>(uniq.size());
+  // rank of each tmp id in sorted key order
+  std::vector<int32_t> order(nu);
+  for (int64_t i = 0; i < nu; ++i) order[i] = static_cast<int32_t>(i);
+  std::sort(order.begin(), order.end(),
+            [&uniq](int32_t a, int32_t b) { return uniq[a] < uniq[b]; });
+  std::vector<int32_t> rank(nu);
+  for (int64_t r = 0; r < nu; ++r) {
+    rank[order[r]] = static_cast<int32_t>(r);
+    out_unique[r] = uniq[order[r]];
+  }
+  for (int64_t i = 0; i < n; ++i) out_inverse[i] = rank[tmp_id[i]];
+  return nu;
+}
+
 }  // extern "C"

@@ -283,7 +283,17 @@ class KNPEMIAssembler:
             raise RuntimeError("Assembly references an inactive dof")
 
         keys = all_rows * self.n_dofs + all_cols
-        uniq, inv = np.unique(keys, return_inverse=True)
+        uniq = inv = None
+        try:
+            from knp_emi_cgx_tpu import native
+
+            res = native.coalesce_coo(keys)
+            if res is not None:
+                uniq, inv = res
+        except Exception:
+            pass
+        if uniq is None:
+            uniq, inv = np.unique(keys, return_inverse=True)
         self.nnz = nnz = uniq.shape[0]
         csr_rows = (uniq // self.n_dofs).astype(np.int64)
         csr_cols = (uniq % self.n_dofs).astype(np.int64)
