@@ -136,6 +136,8 @@ def main():
                         help="npz checkpoint to resume from")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend in float64")
+    parser.add_argument("--profile", default=None, metavar="LOGDIR",
+                        help="capture a jax.profiler trace to LOGDIR")
     args = parser.parse_args()
 
     if args.cpu:
@@ -150,7 +152,13 @@ def main():
         jax.config.update("jax_platform_name", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
-    main_yaml(args.config_file, resume=args.resume)
+    if args.profile:
+        from knp_emi_cgx_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            main_yaml(args.config_file, resume=args.resume)
+    else:
+        main_yaml(args.config_file, resume=args.resume)
 
 
 if __name__ == "__main__":

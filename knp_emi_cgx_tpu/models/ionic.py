@@ -68,6 +68,7 @@ class HodgkinHuxley(IonicModel):
 
     use_rush_larsen: bool = True
     time_steps_ode: int = 25
+    use_pallas: bool = False   # gate the sweep through the Pallas kernel
 
     @property
     def has_gating(self) -> bool:

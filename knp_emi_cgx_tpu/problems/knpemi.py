@@ -429,10 +429,19 @@ class SolverKNPEMI:
                 n_, m_, h_ = state.n, state.m, state.h
                 if gating:
                     dt_ode = params.dt / hh.time_steps_ode
-                    upd = (rush_larsen_update if hh.use_rush_larsen
-                           else forward_euler_update)
-                    n_, m_, h_ = upd(n_, m_, h_, state.phi_m, params.phi_rest,
-                                     dt_ode, hh.time_steps_ode)
+                    if getattr(hh, "use_pallas", False):
+                        from knp_emi_cgx_tpu.ops.pallas_gating import (
+                            rush_larsen_pallas)
+
+                        n_, m_, h_ = rush_larsen_pallas(
+                            n_, m_, h_, state.phi_m, params.phi_rest,
+                            dt_ode, hh.time_steps_ode)
+                    else:
+                        upd = (rush_larsen_update if hh.use_rush_larsen
+                               else forward_euler_update)
+                        n_, m_, h_ = upd(n_, m_, h_, state.phi_m,
+                                         params.phi_rest, dt_ode,
+                                         hh.time_steps_ode)
                 gates = {"n": n_, "m": m_, "h": h_}
                 bc_values = (a.mms_bc_values(t_new)
                              if (a.has_bcs and a.mms is not None) else None)
