@@ -25,7 +25,6 @@ import numpy as np
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-from knp_emi_cgx_tpu.ops.spmv import make_csr_matvec
 
 
 def _strength_graph(A: sp.csr_matrix, theta: float = 0.08) -> sp.csr_matrix:
@@ -181,8 +180,10 @@ class SmoothedAggregationAMG:
         from knp_emi_cgx_tpu.ops.spmv import csr_mv
 
         lam = level.lam_max
-        # two-weight scheme targeting [0.3*lam, 1.1*lam]
-        for omega in (1.0 / (0.7 * lam), 1.0 / (1.1 * lam))[: self.smooth_iters]:
+        # alternating two-weight scheme targeting [0.3*lam, 1.1*lam]
+        weights = (1.0 / (0.7 * lam), 1.0 / (1.1 * lam))
+        for it in range(self.smooth_iters):
+            omega = weights[it % 2]
             r = b - csr_mv(level.A_vals, x, level.A_indices, level.A_row_ids,
                            level.n)
             x = x + omega * (level.dinv * r)

@@ -84,7 +84,6 @@ def test_glia_initial_and_evolution(glia_run):
     K_i = u[problem.params.ion_index["K"]]
     assert abs(np.mean(K_i[neuron_mverts]) - 130) < 5
     assert abs(np.mean(K_i[glia_mverts]) - 100) < 5
-    # solver stays well-conditioned with two membranes (iteration counts
-    # are higher than the single-box golden problem; tightening the glial
-    # preconditioner blocks is tracked as future work)
-    assert max(solver.iterations) <= 40, solver.iterations
+    # solver stays well-conditioned with two membranes (5 iterations at
+    # rest; strongly-stimulated transients may need ~20-25)
+    assert max(solver.iterations) <= 10, solver.iterations
