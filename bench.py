@@ -45,7 +45,7 @@ def main():
                                               NeuronalCotransporters)
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     cfg.scale_stimulus = False   # 2D-area scaling is unphysical on the cube
     cfg.solver_config = {"direct": False,
                          "ksp_settings": {"ksp_rtol": 1e-6, "pc_mode": "amg"}}

@@ -72,7 +72,7 @@ def build_sharded_problem(n_devices: int, devices=None, n_mesh: int = 16,
     devices = np.array(devices[:n_devices])
     device_mesh = Mesh(devices, ("cells",))
 
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     if solver == "iterative":
         cfg.solver_config = {"direct": False,
                              "ksp_settings": {"ksp_rtol": 1e-8 if dtype == jnp.float64 else 1e-6,

@@ -29,7 +29,7 @@ REF_IT_PHI_E = 6.369472309249516e-11
 
 
 def run(diagonal):
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     mesh, tagger = generate_square_geometry(32, diagonal=diagonal)
     mesh._facet_tagger = tagger
     problem = ProblemKNPEMI(cfg, mesh=mesh)

@@ -30,7 +30,7 @@ def test_circle_geometry():
 
 
 def test_knpemi_on_circle():
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     cfg.time_steps = 3
     cfg.scale_stimulus = False
     mesh, tagger = generate_circle_geometry(12, 36)

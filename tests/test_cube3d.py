@@ -10,7 +10,7 @@ from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
                                           NeuronalCotransporters)
 from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
-CONFIG = "configs/tests/electric_potential_norms_direct_solver.yaml"
+CONFIG = "configs/tests/golden_parity.yaml"
 
 
 @pytest.fixture(scope="module")

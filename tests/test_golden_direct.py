@@ -27,7 +27,7 @@ from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 REF_PHI_I = 2.6337161145147203e-08
 REF_PHI_E = 1.5258564901943312e-08
 
-CONFIG = "configs/tests/electric_potential_norms_direct_solver.yaml"
+CONFIG = "configs/tests/golden_parity.yaml"
 
 
 @pytest.fixture(scope="module")

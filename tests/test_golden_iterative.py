@@ -25,7 +25,7 @@ REF_PHI_I = 3.510994056704844e-08
 REF_PHI_E = 6.369472309249516e-11
 REF_ITERATIONS = 3.0
 
-CONFIG = "configs/tests/electric_potential_norms_direct_solver.yaml"
+CONFIG = "configs/tests/golden_parity.yaml"
 
 
 @pytest.fixture(scope="module")

@@ -44,7 +44,7 @@ def cli_run(tmp_path_factory):
     out = tmp_path_factory.mktemp("cli_out")
     import yaml
 
-    with open("configs/tests/electric_potential_norms_direct_solver.yaml") as fh:
+    with open("configs/tests/golden_parity.yaml") as fh:
         raw = yaml.load(fh, Loader=yaml.FullLoader)
     raw["output_dir"] = str(out)
     raw["solver"]["output"] = {"save_xdmf": True, "save_pngs": True,
@@ -115,7 +115,7 @@ def test_ode_initializer_two_compartment():
     from knp_emi_cgx_tpu.models.params import params_from_config
     from knp_emi_cgx_tpu.models.ode_init import two_compartment_steady_state
 
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     params = params_from_config(cfg)
     vol_i, vol_e = 2.5e-13, 7.5e-13
     area = 2e-6

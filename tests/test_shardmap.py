@@ -32,7 +32,7 @@ def device_mesh():
 
 @pytest.fixture(scope="module")
 def system():
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     mesh, tagger = generate_square_geometry(16)
     mesh._facet_tagger = tagger
     problem = ProblemKNPEMI(cfg, mesh=mesh)

@@ -13,7 +13,7 @@ from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 def test_pin_ecs_potential():
     """Grounding phi_e at one vertex removes the nullspace; the membrane
     dynamics are unchanged and phi_e sits near zero."""
-    cfg = load_config("configs/tests/electric_potential_norms_direct_solver.yaml")
+    cfg = load_config("configs/tests/golden_parity.yaml")
     cfg.time_steps = 3
     cfg.pin_ecs_potential = True
     mesh, tagger = generate_square_geometry(16)
