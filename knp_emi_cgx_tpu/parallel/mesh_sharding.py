@@ -14,8 +14,9 @@ TPU-native mapping:
   * Krylov reductions        →  dots over replicated/sharded vectors; XLA
     inserts psum collectives over ICI
   * state pytree             →  replicated (field vectors are small
-    relative to element data; a dof-sharded variant with ppermute halo
-    exchange is the planned upgrade path for pod-scale meshes)
+    relative to element data); the explicit-collective counterparts live in
+    shard_map_spmv.py (all_gather row decomposition) and halo_spmv.py
+    (ppermute neighbour-halo exchange with graph-partitioned reordering)
 
 This GSPMD formulation follows the standard recipe: pick a mesh, annotate
 shardings on the data, let XLA insert the collectives.
