@@ -67,9 +67,15 @@ def build_sharded_problem(n_devices: int, devices=None, n_mesh: int = 16,
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     if devices is None:
-        devices = [d for d in jax.devices() if d.platform == "cpu"]
-        if len(devices) < n_devices:
-            devices = jax.devices()
+        # CPU backend only — asking the default backend for devices would
+        # initialise it (possibly a single real TPU) and can't widen a mesh.
+        devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"build_sharded_problem: need {n_devices} devices, have "
+            f"{len(devices)}; set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} before jax "
+            f"initialises its backends")
     devices = np.array(devices[:n_devices])
     device_mesh = Mesh(devices, ("cells",))
 
