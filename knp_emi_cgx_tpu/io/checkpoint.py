@@ -24,8 +24,16 @@ def _mesh_fingerprint(mesh) -> str:
     return h.hexdigest()[:16]
 
 
+def config_fingerprint(cfg) -> str:
+    """Hash the physics-relevant config so a checkpoint cannot silently
+    resume under a different dt / model stack / ion set."""
+    raw = getattr(cfg, "raw", cfg)
+    payload = json.dumps(raw, sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def save_state(filename: str, state, mesh=None, step: int | None = None,
-               extra: dict | None = None):
+               config=None, extra: dict | None = None):
     """Write a state NamedTuple to an npz checkpoint."""
     payload = {f"state__{k}": np.asarray(v) for k, v in state._asdict().items()}
     meta = {"fields": list(state._asdict().keys()),
@@ -34,6 +42,8 @@ def save_state(filename: str, state, mesh=None, step: int | None = None,
         meta["step"] = step
     if mesh is not None:
         meta["mesh_fingerprint"] = _mesh_fingerprint(mesh)
+    if config is not None:
+        meta["config_fingerprint"] = config_fingerprint(config)
     if extra:
         meta["extra"] = extra
     payload["meta_json"] = np.frombuffer(
@@ -42,11 +52,12 @@ def save_state(filename: str, state, mesh=None, step: int | None = None,
     np.savez_compressed(filename, **payload)
 
 
-def load_state(filename: str, state_cls, mesh=None, dtype=None):
+def load_state(filename: str, state_cls, mesh=None, dtype=None, config=None):
     """Load a checkpoint back into `state_cls` (e.g. KNPEMIState).
 
-    If `mesh` is given, the stored fingerprint is validated so a checkpoint
-    cannot silently resume on a different mesh.
+    If `mesh` (or `config`) is given, the stored fingerprint is validated so
+    a checkpoint cannot silently resume on a different mesh (or with a
+    different dt / model stack).
     Returns (state, meta).
     """
     with np.load(filename) as data:
@@ -57,6 +68,13 @@ def load_state(filename: str, state_cls, mesh=None, dtype=None):
                 raise ValueError(
                     f"Checkpoint {filename} was written for a different mesh "
                     f"({meta['mesh_fingerprint']} != {fp})")
+        if config is not None and "config_fingerprint" in meta:
+            fp = config_fingerprint(config)
+            if fp != meta["config_fingerprint"]:
+                raise ValueError(
+                    f"Checkpoint {filename} was written under a different "
+                    f"config ({meta['config_fingerprint']} != {fp}); refusing "
+                    f"to resume with changed dt/models/ions")
         kwargs = {}
         for k in meta["fields"]:
             arr = data[f"state__{k}"]

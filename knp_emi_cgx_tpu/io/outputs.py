@@ -107,7 +107,8 @@ class KNPEMIOutputs:
             from knp_emi_cgx_tpu.io.checkpoint import save_state
 
             save_state(os.path.join(self.out_dir, f"checkpoint_{i:06d}.npz"),
-                       state, mesh=self.problem.topo.mesh, step=i)
+                       state, mesh=self.problem.topo.mesh, step=i,
+                       config=self.problem.cfg)
 
     def _record_traces(self, state):
         v = float(np.asarray(state.phi_m[self.png_vertex]))

@@ -88,7 +88,8 @@ def main_yaml(yaml_file: str, resume: str | None = None,
         from knp_emi_cgx_tpu.io.checkpoint import load_state
 
         state, meta = load_state(resume, KNPEMIState,
-                                 mesh=problem.topo.mesh, dtype=dtype)
+                                 mesh=problem.topo.mesh, dtype=dtype,
+                                 config=cfg)
         print(f"Resumed from {resume} at t={float(state.t):.6e} "
               f"(step {meta.get('step', '?')})")
     else:
@@ -128,8 +129,11 @@ def _main_emi(cfg, mesh, dtype):
 
 
 def main():
+    from knp_emi_cgx_tpu.utils.parsers import CustomParser
+
     parser = argparse.ArgumentParser(
-        description="TPU-native KNP-EMI electrodiffusion solver")
+        description="TPU-native KNP-EMI electrodiffusion solver",
+        formatter_class=CustomParser)
     parser.add_argument("--config", dest="config_file", required=True,
                         help="YAML configuration file")
     parser.add_argument("--resume", dest="resume", default=None,

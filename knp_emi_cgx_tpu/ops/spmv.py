@@ -2,8 +2,8 @@
 
 The operator has *static sparsity* (semi-implicit linearisation: only values
 change per step, SURVEY §7.1), stored CSR.  `csr_matvec` is the XLA
-formulation (gather + segment_sum, fuses well and is TPU-compatible at any
-size); a Pallas ELL kernel for large 3D meshes lives in `pallas_spmv.py`.
+formulation (gather + segment_sum): it fuses well and is TPU-compatible at
+any size, and XLA lowers the sorted segment_sum to efficient vector code.
 """
 from __future__ import annotations
 

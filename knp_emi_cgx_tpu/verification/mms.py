@@ -34,25 +34,71 @@ _JNP_MODULE = {
 }
 
 
-class KNPEMIMMS:
+class _SymbolicMMS:
+    """Shared sympy→jnp lambdification machinery (scalar/vector fields of
+    (x[,y,z], t)).  Subclasses populate `_scalars`, `_vectors`, `exact_sym`."""
+
+    def _setup_coords(self, dim: int):
+        self.dim = dim
+        self._t = sp.Symbol("t")
+        self._xs = sp.symbols("x y") if dim == 2 else sp.symbols("x y z")
+        self._fn_cache = {}
+        return self._t, self._xs
+
+    def _lambdify(self, expr):
+        return sp.lambdify((*self._xs, self._t), expr,
+                           modules=[_JNP_MODULE, jnp])
+
+    def scalar(self, name):
+        """Return callable(pts, t) -> array; pts shape [..., dim]."""
+        if ("s", name) not in self._fn_cache:
+            self._fn_cache[("s", name)] = self._lambdify(self._scalars[name])
+        f = self._fn_cache[("s", name)]
+
+        def call(pts, t):
+            coords = [pts[..., d] for d in range(self.dim)]
+            out = f(*coords, t)
+            return jnp.broadcast_to(out, pts.shape[:-1])
+
+        return call
+
+    def vector(self, name):
+        """Return callable(pts, t) -> array [..., dim]."""
+        if ("v", name) not in self._fn_cache:
+            self._fn_cache[("v", name)] = [
+                self._lambdify(c) for c in self._vectors[name]]
+        fs = self._fn_cache[("v", name)]
+
+        def call(pts, t):
+            coords = [pts[..., d] for d in range(self.dim)]
+            comps = [jnp.broadcast_to(f(*coords, t), pts.shape[:-1])
+                     for f in fs]
+            return jnp.stack(comps, axis=-1)
+
+        return call
+
+    def exact_numpy(self, name, pts, t):
+        """Host evaluation of an exact field (for ICs / errors)."""
+        f = sp.lambdify((*self._xs, self._t), self.exact_sym[name],
+                        modules="numpy")
+        coords = [pts[..., d] for d in range(self.dim)]
+        return np.broadcast_to(f(*coords, t), pts.shape[:-1]).astype(float)
+
+
+class KNPEMIMMS(_SymbolicMMS):
     ION_NAMES = ("Na", "K", "Cl")
     ZS = {"Na": 1, "K": 1, "Cl": -1}
 
     def __init__(self, dim: int):
-        self.dim = dim
-        t = sp.Symbol("t")
+        t, xs = self._setup_coords(dim)
         if dim == 2:
-            xs = sp.symbols("x y")
             s = sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1]) * sp.exp(-t)
             p = sp.cos(2 * sp.pi * xs[0]) * sp.cos(2 * sp.pi * xs[1])
         else:
-            xs = sp.symbols("x y z")
             s = (sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1])
                  * sp.sin(2 * sp.pi * xs[2]) * sp.exp(-t))
             p = (sp.cos(2 * sp.pi * xs[0]) * sp.cos(2 * sp.pi * xs[1])
                  * sp.cos(2 * sp.pi * xs[2]))
-        self._t = t
-        self._xs = xs
 
         exact = {
             "Na_i": 0.7 + 0.3 * s, "Na_e": 1.0 + 0.6 * s,
@@ -109,45 +155,49 @@ class KNPEMIMMS:
         for name in self.ION_NAMES:
             self._vectors[f"J_{name}_e"] = J[f"{name}_e"]
 
-        # lambdify everything to jnp callables f(pts[..., dim], t)
-        self._fn_cache = {}
 
-    # ------------------------------------------------------------------
-    def _lambdify(self, expr):
-        f = sp.lambdify((*self._xs, self._t), expr, modules=[_JNP_MODULE, jnp])
-        return f
+class EMIMMS(_SymbolicMMS):
+    """Manufactured solutions for the 2-field EMI system.
 
-    def scalar(self, name):
-        """Return callable(pts, t) -> array; pts shape [..., dim]."""
-        if ("s", name) not in self._fn_cache:
-            self._fn_cache[("s", name)] = self._lambdify(self._scalars[name])
-        f = self._fn_cache[("s", name)]
+    The reference's EMI MMS driver is broken (stale imports, SURVEY §2.1);
+    its working verification is the hardcoded sin·sin solution in
+    `EMI/tests/square_test.py`.  Here the same exact fields are derived
+    symbolically — sources via -div(sigma grad u), membrane correction for
+    the passive model via g = C_M dphi_m/dt + phi_m - (-sigma_i grad(ui)·n)
+    — so any exact solution / conductivity can be dropped in.
 
-        def call(pts, t):
-            coords = [pts[..., d] for d in range(self.dim)]
-            out = f(*coords, t)
-            return jnp.broadcast_to(out, pts.shape[:-1])
+    Defaults reproduce square_test.py:
+        ui = sin(2 pi x) sin(2 pi y) (1 + exp(-t)),  ue = sin(2 pi x) sin(2 pi y)
+        f_i = 8 pi^2 ui,  f_e = 8 pi^2 ue  (sigma_i = sigma_e = 1)
+    """
 
-        return call
+    def __init__(self, dim: int = 2, sigma_i: float = 1.0,
+                 sigma_e: float = 1.0, C_M: float = 1.0):
+        t, xs = self._setup_coords(dim)
+        s = sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1])
+        if dim == 3:
+            s = s * sp.sin(2 * sp.pi * xs[2])
+        ui = s * (1 + sp.exp(-t))
+        ue = s
+        phi_m = ui - ue
 
-    def vector(self, name):
-        """Return callable(pts, t) -> array [..., dim]."""
-        if ("v", name) not in self._fn_cache:
-            self._fn_cache[("v", name)] = [
-                self._lambdify(c) for c in self._vectors[name]]
-        fs = self._fn_cache[("v", name)]
+        def laplacian(f):
+            return sum(sp.diff(f, c, 2) for c in xs)
 
-        def call(pts, t):
-            coords = [pts[..., d] for d in range(self.dim)]
-            comps = [jnp.broadcast_to(f(*coords, t), pts.shape[:-1])
-                     for f in fs]
-            return jnp.stack(comps, axis=-1)
+        f_i = -sigma_i * laplacian(ui)
+        f_e = -sigma_e * laplacian(ue)
 
-        return call
-
-    def exact_numpy(self, name, pts, t):
-        """Host evaluation of an exact field (for ICs / errors)."""
-        f = sp.lambdify((*self._xs, self._t), self.exact_sym[name],
-                        modules="numpy")
-        coords = [pts[..., d] for d in range(self.dim)]
-        return np.broadcast_to(f(*coords, t), pts.shape[:-1]).astype(float)
+        self.exact_sym = {"phi_i": ui, "phi_e": ue}
+        self._scalars = {
+            "f_phi_i": f_i, "f_phi_e": f_e,
+            "phi_i": ui, "phi_e": ue, "phi_m": phi_m,
+            "dphi_m_dt": sp.diff(phi_m, t),
+            # scalar part of the passive-model membrane correction; the full
+            # correction is g + J_i·n with n the membrane normal (use
+            # vector("J_i") at the facet quadrature points)
+            "g_membrane": C_M * sp.diff(phi_m, t) + phi_m,
+        }
+        self._vectors = {
+            "J_i": [-sigma_i * sp.diff(ui, c) for c in xs],
+            "J_e": [-sigma_e * sp.diff(ue, c) for c in xs],
+        }

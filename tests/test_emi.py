@@ -35,16 +35,16 @@ def _sinsin(pts):
 
 
 def _run_mms(N, dt=1e-3, steps=2, direct=True):
+    """Sources come from the sympy MMS pipeline (verification/mms.py EMIMMS),
+    which reproduces the reference square_test.py hardcoded forms."""
+    from knp_emi_cgx_tpu.verification.mms import EMIMMS
+
     mesh, tagger = generate_square_geometry(N)
     mesh._facet_tagger = tagger
 
-    def src_i(pts, t):
-        s = jnp.sin(2 * jnp.pi * pts[..., 0]) * jnp.sin(2 * jnp.pi * pts[..., 1])
-        return 8 * jnp.pi ** 2 * s * (1.0 + jnp.exp(-t))
-
-    def src_e(pts, t):
-        s = jnp.sin(2 * jnp.pi * pts[..., 0]) * jnp.sin(2 * jnp.pi * pts[..., 1])
-        return 8 * jnp.pi ** 2 * s
+    mms = EMIMMS(dim=2)
+    src_i = mms.scalar("f_phi_i")
+    src_e = mms.scalar("f_phi_e")
 
     cfg = _emi_cfg(dt, steps)
     if not direct:
@@ -60,8 +60,8 @@ def _run_mms(N, dt=1e-3, steps=2, direct=True):
     t = float(state.t)
     errs = {}
     for name, f, exact in (
-        ("phi_i", 0, lambda p: _sinsin(p) * (1 + np.exp(-t))),
-        ("phi_e", 1, lambda p: _sinsin(p)),
+        ("phi_i", 0, lambda p: mms.exact_numpy("phi_i", p, t)),
+        ("phi_e", 1, lambda p: mms.exact_numpy("phi_e", p, t)),
     ):
         Vt, M_e = problem._side_geom[f]
         uh = np.asarray(state.phi[f])[Vt]

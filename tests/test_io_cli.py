@@ -108,6 +108,26 @@ def test_checkpoint_wrong_mesh_rejected(cli_run):
                    mesh=other_mesh)
 
 
+def test_checkpoint_wrong_config_rejected(cli_run):
+    """Resuming under a changed dt/model config must hard-fail."""
+    out, problem, *_ = cli_run
+    import copy
+
+    from knp_emi_cgx_tpu.io.checkpoint import load_state
+    from knp_emi_cgx_tpu.problems.knpemi import KNPEMIState
+
+    # same config resumes fine
+    state, meta = load_state(str(out / "checkpoint_000005.npz"), KNPEMIState,
+                             config=problem.cfg)
+    assert meta["step"] == 5
+
+    other_cfg = copy.deepcopy(problem.cfg)
+    other_cfg.raw["dt"] = 999.0
+    with pytest.raises(ValueError, match="different config"):
+        load_state(str(out / "checkpoint_000005.npz"), KNPEMIState,
+                   config=other_cfg)
+
+
 def test_ode_initializer_two_compartment():
     """The 0-D steady-state search moves towards a physiological resting
     state and stays finite (membrane_ODE_systems.py equivalent)."""
