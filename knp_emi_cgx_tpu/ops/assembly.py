@@ -295,6 +295,10 @@ class KNPEMIAssembler:
         if uniq is None:
             uniq, inv = np.unique(keys, return_inverse=True)
         self.nnz = nnz = uniq.shape[0]
+        # output sizes for the assembly scatters; rewritten by
+        # apply_dof_remap for dof-sharded (padded, reordered) layouts
+        self.nnz_out = nnz
+        self.n_out = self.n_dofs
         csr_rows = (uniq // self.n_dofs).astype(np.int64)
         csr_cols = (uniq % self.n_dofs).astype(np.int64)
         indptr = np.zeros(self.n_dofs + 1, dtype=np.int64)
@@ -423,6 +427,64 @@ class KNPEMIAssembler:
             self._lift_static = st["lift_static"]
         return old
 
+    def apply_dof_remap(self, halo):
+        """Re-target every assembly scatter into `halo`'s padded,
+        device-contiguous dof layout (see parallel/halo_spmv.py): rows/dofs
+        go through halo.newpos, CSR value slots through the inverse of
+        halo.vals_gather.  After this call the assembler speaks the padded
+        dof space exclusively — `assemble` returns values in the
+        [n_devices * max_nnz] sharded layout and b/[bc_values]/nullspace as
+        [halo.n_padded] vectors, so a dof-sharded solve never reindexes.
+
+        This is the PETSc ADD_VALUES-into-MatMPIAIJ equivalent
+        (KNPEMIx_solver.py:114): each device's assembly contributions land
+        directly in the distributed storage.
+        """
+        if getattr(self, "_dof_remap", None) is not None:
+            raise RuntimeError("apply_dof_remap may only be called once")
+        newpos = np.asarray(halo.newpos)            # old dof -> padded pos
+        vg = np.asarray(halo.vals_gather).ravel()   # padded slot -> old slot
+        pm = np.asarray(halo.pad).ravel() > 0
+        new_of = np.empty(self.nnz, dtype=np.int64)
+        new_of[vg[pm]] = np.nonzero(pm)[0]
+        dtype, it = self.dtype, jnp.int32
+
+        self.dyn_slots = jnp.asarray(new_of[np.asarray(self.dyn_slots)],
+                                     dtype=it)
+        A_pad = np.zeros(vg.shape[0])
+        A_pad[new_of] = np.asarray(self.A_static_vals)
+        self.A_static_vals = jnp.asarray(A_pad, dtype=dtype)
+        self.rhs_rows = jnp.asarray(newpos[np.asarray(self.rhs_rows)],
+                                    dtype=it)
+
+        bc_flag = np.zeros(halo.n_padded, dtype=bool)
+        bc_flag[newpos] = self.bc_flag_np
+        self.bc_flag = jnp.asarray(bc_flag)
+        cbv = np.zeros(halo.n_padded)
+        cbv[newpos] = self.const_bc_values_np
+        self.const_bc_values = jnp.asarray(cbv, dtype=dtype)
+        if self.has_bcs:
+            sv, sr, sc = self._lift_static
+            self._lift_static = (
+                sv,
+                jnp.asarray(newpos[np.asarray(sr)], dtype=it),
+                jnp.asarray(newpos[np.asarray(sc)], dtype=it))
+            self._dyn_rows = jnp.asarray(newpos[np.asarray(self._dyn_rows)],
+                                         dtype=it)
+            self._dyn_cols = jnp.asarray(newpos[np.asarray(self._dyn_cols)],
+                                         dtype=it)
+        ns = np.zeros(halo.n_padded)
+        ns[newpos] = np.asarray(self.nullspace)
+        self.nullspace = jnp.asarray(ns, dtype=dtype)
+        if self.mms is not None:
+            self._mms_bc_entries = {
+                name: (jnp.asarray(newpos[np.asarray(dofs)], dtype=it), coords)
+                for name, (dofs, coords) in self._mms_bc_entries.items()}
+
+        self.nnz_out = int(vg.shape[0])
+        self.n_out = int(halo.n_padded)
+        self._dof_remap = halo
+
     @staticmethod
     def _bcast_pair(rows, cols, nv):
         shape = (rows.shape[0], nv, nv)
@@ -534,7 +596,7 @@ class KNPEMIAssembler:
     def mms_bc_values(self, t):
         """Dirichlet boundary values from the exact extracellular solutions
         at time t (jittable)."""
-        vals = jnp.zeros(self.n_dofs, dtype=self.dtype)
+        vals = jnp.zeros(self.n_out, dtype=self.dtype)
         for name, (dofs, coords) in self._mms_bc_entries.items():
             vals = vals.at[dofs].set(
                 self.mms.scalar(name)(coords, t).astype(self.dtype))
@@ -755,19 +817,19 @@ class KNPEMIAssembler:
 
         # ---- scatter ----
         csr_vals = self.A_static_vals + jax.ops.segment_sum(
-            dyn_flat * self.dyn_keep, self.dyn_slots, num_segments=self.nnz)
+            dyn_flat * self.dyn_keep, self.dyn_slots, num_segments=self.nnz_out)
         b = jax.ops.segment_sum(rhs_flat * self.rhs_keep, self.rhs_rows,
-                                num_segments=self.n_dofs)
+                                num_segments=self.n_out)
 
         if self.has_bcs:
             if bc_values is None:
                 bc_values = self.const_bc_values
             sv, sr, sc = self._lift_static
             lift = jax.ops.segment_sum(sv * bc_values[sc], sr,
-                                       num_segments=self.n_dofs)
+                                       num_segments=self.n_out)
             lift = lift + jax.ops.segment_sum(
                 dyn_flat * self._lift_dyn_mask * bc_values[self._dyn_cols],
-                self._dyn_rows, num_segments=self.n_dofs)
+                self._dyn_rows, num_segments=self.n_out)
             b = b - lift
             b = jnp.where(self.bc_flag, bc_values, b)
 

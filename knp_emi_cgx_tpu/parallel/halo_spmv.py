@@ -31,7 +31,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 class HaloSpMV:
     def __init__(self, A_indptr, A_indices, n: int, n_devices: int,
-                 axis: str = "cells"):
+                 axis: str = "cells", part: np.ndarray | None = None):
+        """part: optional externally supplied dof -> device map (e.g. derived
+        from a mesh-vertex partition so that several operators — the system
+        matrix and its preconditioner — share one vector layout).  When None,
+        the dof adjacency graph is partitioned here."""
         import scipy.sparse as sp
 
         indptr = np.asarray(A_indptr)
@@ -43,8 +47,9 @@ class HaloSpMV:
         # --- partition the adjacency graph and reorder dofs ---
         from knp_emi_cgx_tpu import native
 
-        part = None
-        if native.get_lib() is not None:
+        if part is not None:
+            part = np.asarray(part, dtype=np.int32)
+        if part is None and native.get_lib() is not None:
             # symmetrise the pattern for partitioning
             G = sp.csr_matrix((np.ones(len(indices)),
                                indices, indptr), shape=(n, n))
@@ -53,6 +58,7 @@ class HaloSpMV:
                                     n_devices)
         if part is None:
             part = (np.arange(n) * n_devices // n).astype(np.int32)
+        self.part = part
 
         order = np.argsort(part, kind="stable")
         self.perm = order                    # new_pos -> old dof
@@ -170,11 +176,16 @@ class HaloSpMV:
         return xp[jnp.asarray(self.newpos)]
 
     # ------------------------------------------------------------------
-    def make_matvec(self, device_mesh: Mesh):
+    def make_matvec_fn(self, device_mesh: Mesh):
+        """Returns (matvec, arrays): matvec(arrays, vals_shards, x_padded).
+
+        The index structures (column slots, local rows, send maps) travel as
+        the `arrays` ARGUMENT rather than closure constants, so a jitted hot
+        loop can bundle them (see utils/devicestate.py — closure constants
+        get re-shipped to the device per execution on remote runtimes)."""
         axis = self.axis
         rows_per = self.rows_per
         deltas = self.deltas
-        send_idx = self.send_idx
         n_dev = self.n_devices
 
         def local_mv(vals_blk, cols_blk, rows_blk, x_blk, *send_blks):
@@ -195,10 +206,20 @@ class HaloSpMV:
         mv = jax.shard_map(local_mv, mesh=device_mesh,
                            in_specs=tuple(in_specs), out_specs=P(axis, None))
 
-        def matvec(vals_shards, x_padded):
+        def matvec(arrays, vals_shards, x_padded):
             xs = x_padded.reshape(n_dev, rows_per)
-            args = [vals_shards, self.cols, self.local_rows, xs]
-            args += [send_idx[d] for d in deltas]
+            args = [vals_shards, arrays["cols"], arrays["local_rows"], xs]
+            args += list(arrays["send"])
             return mv(*args).reshape(-1)
+
+        arrays = {"cols": self.cols, "local_rows": self.local_rows,
+                  "send": tuple(self.send_idx[d] for d in deltas)}
+        return matvec, arrays
+
+    def make_matvec(self, device_mesh: Mesh):
+        fn, arrays = self.make_matvec_fn(device_mesh)
+
+        def matvec(vals_shards, x_padded):
+            return fn(arrays, vals_shards, x_padded)
 
         return matvec
