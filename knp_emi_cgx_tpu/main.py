@@ -48,13 +48,21 @@ def main_yaml(yaml_file: str, resume: str | None = None,
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    # allow "generate:squareN" / "generate:cubeN" pseudo-files for meshes
+    # allow "generate:squareN" / "generate:cubeN" / "generate:tissueNxCc"
+    # pseudo-files for meshes
     if mesh is None and cfg.mesh_file and "generate:" in cfg.mesh_file:
+        import re
+
         from knp_emi_cgx_tpu.mesh.generation import (
-            generate_square_geometry, generate_cube_geometry)
+            generate_square_geometry, generate_cube_geometry,
+            generate_tissue_geometry)
 
         spec = cfg.mesh_file.split("generate:")[1]
-        if spec.startswith("square"):
+        tissue = re.fullmatch(r"tissue(\d+)x(\d+)c", spec)
+        if tissue:
+            mesh, tagger = generate_tissue_geometry(int(tissue.group(1)),
+                                                    int(tissue.group(2)))
+        elif spec.startswith("square"):
             mesh, tagger = generate_square_geometry(int(spec[6:]))
         elif spec.startswith("cube"):
             mesh, tagger = generate_cube_geometry(int(spec[4:]))

@@ -373,3 +373,74 @@ def generate_two_cell_geometry(n: int = 16):
         return out
 
     return mesh, tagger
+
+
+def generate_tissue_geometry(n: int, n_cells: int, seed: int = 0,
+                             cell_size: int | None = None):
+    """Many-cell 3D tissue-like geometry: `n_cells` separate intracellular
+    boxes seeded in a unit-cube n^3x6 tet mesh, following the reference's
+    dense-tissue tag convention (configs/5m/100c.yaml):
+
+      cell tags:  1 = ECS, 2..n_cells+1 = biological cells
+      facet tags: per-cell membrane tag equal to the cell tag,
+                  1001 = exterior boundary, 0 = other
+
+    Cells are axis-aligned boxes placed on a jittered coarse lattice with a
+    >=1-grid-cell ECS gap between any two cells (ECS percolates), so the
+    geometry mimics the reference's dense reconstructions' topology (every
+    cell coupled to every neighbour only through the shared ECS).  A fixed
+    `seed` makes the geometry reproducible.  Use `glia_tags` in the config
+    to mark any subset of the cells as glia.
+    """
+    if cell_size is None:
+        # largest box size whose gapped lattice still fits n_cells
+        cell_size = 1
+        for s in range(n, 0, -1):
+            if (n // (s + 1)) ** 3 >= n_cells:
+                cell_size = s
+                break
+    pitch = cell_size + 1
+    sites_per_axis = n // pitch
+    capacity = sites_per_axis ** 3
+    if capacity < n_cells:
+        raise ValueError(
+            f"tissue mesh n={n} fits only {capacity} cells of grid size "
+            f"{cell_size} (requested {n_cells})")
+
+    mesh = unit_cube_mesh(n, n, n)
+    h = 1.0 / n
+
+    rng = np.random.default_rng(seed)
+    sites = rng.permutation(capacity)[:n_cells]
+    sx = sites // (sites_per_axis ** 2)
+    sy = (sites // sites_per_axis) % sites_per_axis
+    sz = sites % sites_per_axis
+    # one grid cell of jitter where the lattice leaves room
+    slack = n - sites_per_axis * pitch
+    jit = rng.integers(0, 2, size=(n_cells, 3)) if slack >= 1 else 0
+
+    lo = (np.stack([sx, sy, sz], axis=1) * pitch + 1) + jit   # grid units
+    hi = lo + cell_size                                        # exclusive
+
+    # vertex membership per cell box (grid-aligned: exact comparisons)
+    vert_grid = np.rint(mesh.points / h).astype(np.int64)      # [nV, 3]
+    tags = np.ones(mesh.num_cells, dtype=np.int32)
+    cell_mid = mesh.points[mesh.cells].mean(axis=1) / h        # [nc, 3]
+    for c in range(n_cells):
+        inside = np.all((cell_mid > lo[c]) & (cell_mid < hi[c]), axis=1)
+        tags[inside] = 2 + c
+    mesh.cell_tags = tags
+
+    def tagger(mesh, facets, exterior_mask, facet_cells=None):
+        out = np.zeros(facets.shape[0], dtype=np.int32)
+        out[exterior_mask] = 1001
+        if facet_cells is None:
+            raise RuntimeError("tissue tagger needs facet_cells adjacency")
+        interior = ~exterior_mask
+        t0 = tags[facet_cells[interior, 0]]
+        t1 = tags[facet_cells[interior, 1]]
+        membrane = (t0 == 1) != (t1 == 1)
+        out[np.nonzero(interior)[0][membrane]] = np.maximum(t0, t1)[membrane]
+        return out
+
+    return mesh, tagger

@@ -130,7 +130,12 @@ def build_topology(
         if facet_tags.shape[0] != n_facets:
             raise ValueError("facet_tags_raw length mismatch")
     elif facet_tagger is not None:
-        facet_tags = facet_tagger(mesh, facets, exterior_mask)
+        try:
+            # taggers deriving tags from cell adjacency (tissue geometries)
+            facet_tags = facet_tagger(mesh, facets, exterior_mask,
+                                      facet_cells=facet_cells)
+        except TypeError:
+            facet_tags = facet_tagger(mesh, facets, exterior_mask)
     else:
         facet_tags = np.zeros(n_facets, dtype=np.int32)
 

@@ -26,6 +26,15 @@ def build(force: bool = False) -> str | None:
             return _SO
     try:
         subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+             "-std=c++17", _SRC, "-o", _SO],
+            check=True, capture_output=True, text=True)
+        return _SO
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    try:
+        # fallback: no OpenMP toolchain support
+        subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              "-std=c++17", _SRC, "-o", _SO],
             check=True, capture_output=True, text=True)

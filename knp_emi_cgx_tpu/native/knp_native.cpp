@@ -25,6 +25,11 @@
 #include <queue>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#include <parallel/algorithm>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -166,8 +171,10 @@ void partition_bfs(int64_t n, const int64_t* indptr, const int32_t* indices,
 // Returns n_unique.  Hash-map based: ~3x faster than a sort-unique over the
 // full key stream for FE assembly patterns (each key repeated ~5-10x).
 // ---------------------------------------------------------------------------
-int64_t coalesce_coo(int64_t n, const int64_t* keys, int64_t* out_unique,
-                     int32_t* out_inverse) {
+static int64_t coalesce_hash(int64_t n, const int64_t* keys,
+                             int64_t* out_unique, int32_t* out_inverse) {
+  // single-thread path: FE key streams repeat each key ~5-10x, so the
+  // unique set is small and a hash table beats an O(n log n) sort
   std::unordered_map<int64_t, int32_t> table;
   table.reserve(static_cast<size_t>(n / 4 + 16));
   std::vector<int64_t> uniq;
@@ -185,7 +192,6 @@ int64_t coalesce_coo(int64_t n, const int64_t* keys, int64_t* out_unique,
     }
   }
   const int64_t nu = static_cast<int64_t>(uniq.size());
-  // rank of each tmp id in sorted key order
   std::vector<int32_t> order(nu);
   for (int64_t i = 0; i < nu; ++i) order[i] = static_cast<int32_t>(i);
   std::sort(order.begin(), order.end(),
@@ -196,6 +202,46 @@ int64_t coalesce_coo(int64_t n, const int64_t* keys, int64_t* out_unique,
     out_unique[r] = uniq[order[r]];
   }
   for (int64_t i = 0; i < n; ++i) out_inverse[i] = rank[tmp_id[i]];
+  return nu;
+}
+
+int64_t coalesce_coo(int64_t n, const int64_t* keys, int64_t* out_unique,
+                     int32_t* out_inverse) {
+  // Multi-threaded path: parallel sort-based unique+inverse (the sort
+  // scales with cores; the hash walk does not).  Single-core machines take
+  // the hash path.
+#ifdef _OPENMP
+  if (omp_get_max_threads() <= 2)
+    return coalesce_hash(n, keys, out_unique, out_inverse);
+#else
+  return coalesce_hash(n, keys, out_unique, out_inverse);
+#endif
+  struct KV {
+    int64_t k;
+    int32_t i;
+  };
+  std::vector<KV> kv(static_cast<size_t>(n));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i)
+    kv[static_cast<size_t>(i)] = {keys[i], static_cast<int32_t>(i)};
+  auto cmp = [](const KV& a, const KV& b) { return a.k < b.k; };
+#ifdef _OPENMP
+  __gnu_parallel::sort(kv.begin(), kv.end(), cmp);
+#else
+  std::sort(kv.begin(), kv.end(), cmp);
+#endif
+  int64_t nu = 0;
+  int64_t prev = kv.empty() ? 0 : kv[0].k - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const KV& e = kv[static_cast<size_t>(i)];
+    if (e.k != prev) {
+      out_unique[nu++] = e.k;
+      prev = e.k;
+    }
+    out_inverse[e.i] = static_cast<int32_t>(nu - 1);
+  }
   return nu;
 }
 

@@ -38,6 +38,45 @@ from knp_emi_cgx_tpu.mesh.topology import MeshTopology
 from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
 
 
+def _dev(x, dtype=None):
+    """numpy -> device with the dtype conversion done HOST-SIDE.  A bare
+    jnp.asarray(big_f64_array, dtype=f32) dispatches convert_element_type on
+    the device — one XLA compilation per distinct shape at setup time."""
+    if dtype is not None:
+        x = np.asarray(x, dtype=np.dtype(dtype))
+    return jnp.asarray(np.ascontiguousarray(x))
+
+
+def _unique_inverse(keys):
+    """Sorted-unique + inverse over packed int64 keys (native fast path)."""
+    try:
+        from knp_emi_cgx_tpu import native
+
+        res = native.coalesce_coo(keys)
+        if res is not None:
+            return res
+    except Exception:
+        pass
+    return np.unique(keys, return_inverse=True)
+
+
+def _section_timer():
+    """Setup-phase section timing, printed when KNP_SETUP_VERBOSE is set."""
+    import os
+    import time
+
+    if not os.environ.get("KNP_SETUP_VERBOSE"):
+        return lambda label: None
+    state = {"t": time.perf_counter()}
+
+    def mark(label):
+        now = time.perf_counter()
+        print(f"  [setup] {label}: {now - state['t']:.3f}s", flush=True)
+        state["t"] = now
+
+    return mark
+
+
 class KNPEMIAssembler:
     """Precomputes static structure; exposes jittable `assemble`."""
 
@@ -52,6 +91,7 @@ class KNPEMIAssembler:
         multiple of this count (zero-measure dummy entries anchored at a
         membrane vertex, contributing exact zeros) so they shard evenly
         across a device mesh."""
+        mark = _section_timer()
         self.topo = topo
         self.params = params
         self.models = list(models)
@@ -95,6 +135,7 @@ class KNPEMIAssembler:
                 extra_rank >= 0, base + (f - nvar) * ne + extra_rank, -1)
         self.field_dof = field_dof
 
+        mark("dof restrictions")
         # ------------------------------------------------------------------
         # Dirichlet boundary dofs (KNPEMIx_problem.py:96-198)
         # ------------------------------------------------------------------
@@ -122,14 +163,13 @@ class KNPEMIAssembler:
         self.const_bc_values = jnp.asarray(bc_const, dtype=dtype)
         self.has_bcs = bool(bc_flag.any())
 
+        mark("bc dofs")
         # ------------------------------------------------------------------
         # Volume geometry per subdomain side
         # ------------------------------------------------------------------
         grads, vols = cell_geometry(mesh.points, mesh.cells)
         Mref = reference_mass(dim)
         self._sides = []
-        mat_blocks = []   # (rows, cols) per dynamic matrix block, host order
-        static_rows, static_cols, static_vals = [], [], []
 
         # a vertex active in every field's restriction (membrane vertices
         # belong to both compartment closures) — anchor for padded entries
@@ -139,6 +179,15 @@ class KNPEMIAssembler:
         def _padded_count(n):
             return (-(-n // pm)) * pm if pm > 1 else n
 
+        # The monolithic CSR pattern is NOT built from per-field-block COO
+        # streams (that costs O(nnz_elementwise) ~ 70M entries at 32^3).
+        # Every field block shares one of two vertex-pair adjacencies (intra
+        # / extra cells), so the pattern work is one pair-coalesce per side
+        # (16*nc keys) + O(nnz) analytic block placement — ~10x less host
+        # work, and element-pair static sums (K_pair/M_pair) come out as a
+        # byproduct.  This is the DOLFINx SparsityPattern role, specialised
+        # to the fixed KNP-EMI block structure.
+        pats = {}
         for side, cells_idx in (("i", topo.intra_cells), ("e", topo.extra_cells)):
             Vt = mesh.cells[cells_idx]                     # [nc, nv]
             g = grads[cells_idx]                           # [nc, nv, dim]
@@ -155,40 +204,48 @@ class KNPEMIAssembler:
             ion_off = 0 if side == "i" else nvar
             Dkey = "Di" if side == "i" else "De"
 
-            # --- static: (k,k) mass+diffusion and (phi,k) flux divergence ---
-            for k, ion in enumerate(p.ion_list):
-                D, z = ion[Dkey], ion["z"]
-                kk = M_e + p.dt * D * K_e
-                pk = p.dt * z * D * K_e
-                r_k = field_dof[ion_off + k][Vt]           # [nc, nv]
-                r_p = field_dof[phi_f][Vt]
-                for blk, rows in ((kk, r_k), (pk, r_p)):
-                    cols = field_dof[ion_off + k][Vt]
-                    R = np.broadcast_to(rows[:, :, None], blk.shape)
-                    C = np.broadcast_to(cols[:, None, :], blk.shape)
-                    static_rows.append(R.ravel())
-                    static_cols.append(C.ravel())
-                    static_vals.append(blk.ravel())
-
-            # --- dynamic blocks: (k,phi) drift and (phi,phi) ---
-            for k in range(N):
-                rows = field_dof[ion_off + k][Vt]
-                cols = field_dof[phi_f][Vt]
-                mat_blocks.append(self._bcast_pair(rows, cols, nv))
-            rows = field_dof[phi_f][Vt]
-            mat_blocks.append(self._bcast_pair(rows, rows, nv))
+            rank = intra_rank if side == "i" else extra_rank
+            nside = ni if side == "i" else ne
+            Rt = rank[Vt]                                  # [nc, nv] side ranks
+            if np.any(Rt < 0):
+                raise RuntimeError("Assembly references an inactive dof")
+            pkeys = (Rt[:, :, None] * nside + Rt[:, None, :]).reshape(-1)
+            upairs, pair_id = _unique_inverse(pkeys)
+            prow = (upairs // nside).astype(np.int64)
+            pindptr = np.zeros(nside + 1, dtype=np.int64)
+            np.add.at(pindptr, prow + 1, 1)
+            pindptr = np.cumsum(pindptr)
+            E = upairs.shape[0]
+            pats[side] = {
+                "n": nside, "keys": upairs, "indptr": pindptr,
+                "rows": prow, "cols": (upairs % nside).astype(np.int64),
+                "pair_id": pair_id,
+                "K": np.bincount(pair_id, weights=K_e.reshape(-1),
+                                 minlength=E),
+                "M": np.bincount(pair_id, weights=M_e.reshape(-1),
+                                 minlength=E),
+            }
 
             self._sides.append({
                 "side": side,
-                "Vt": jnp.asarray(Vt, dtype=jnp.int32),
-                "K_e": jnp.asarray(K_e, dtype=dtype),
-                "M_e": jnp.asarray(M_e, dtype=dtype),
+                "Vt": _dev(Vt, jnp.int32),
+                "K_e": _dev(K_e, dtype),
+                "M_e": _dev(M_e, dtype),
                 "ion_off": ion_off,
                 "phi_f": phi_f,
                 "Dkey": Dkey,
                 "Vt_np": Vt,
+                # per-entry pair / rank ids: the per-step volume scatters are
+                # pre-summed on device to pair level (matrix) and vertex
+                # level (RHS) before landing in global storage — ~10x less
+                # scatter traffic than entry-level segment_sums
+                "pair_id": _dev(pair_id, jnp.int32),
+                "rank_flat": _dev(Rt.reshape(-1), jnp.int32),
+                "E": E,
+                "nside": nside,
             })
 
+        mark("volume blocks")
         # ------------------------------------------------------------------
         # Membrane facet data
         # ------------------------------------------------------------------
@@ -247,103 +304,227 @@ class KNPEMIAssembler:
             np.einsum("f,fq,q->", L_f * stim_f.astype(float), region, wq)
         )
 
-        # facet matrix blocks: for each ion the 4 (k, phi) couplings, then the
-        # 4 potential-row couplings — host index arrays in device value order
+        # membrane facet coupling patterns: facet vertex pairs in the rank
+        # spaces of the row/col fields.  Same-compartment facet blocks land
+        # inside the volume adjacency (a facet's vertices share the adjacent
+        # cell on each side); cross-compartment blocks get their own small
+        # patterns
         fd = field_dof
         mv = mverts
         d = dim
+        fri = intra_rank[mv]                               # [n_mf, d]
+        fre = extra_rank[mv]
+        if np.any(fri < 0) or np.any(fre < 0):
+            raise RuntimeError("Membrane vertex missing from a restriction")
 
-        def fpair(rowf, colf):
-            rows = fd[rowf][mv]                            # [n_mf, d]
-            cols = fd[colf][mv]
-            R = np.broadcast_to(rows[:, :, None], (n_mf, d, d))
-            C = np.broadcast_to(cols[:, None, :], (n_mf, d, d))
-            return R.ravel(), C.ravel()
+        def _facet_pattern(rr, rc, ncols):
+            keys = (rr[:, :, None] * ncols + rc[:, None, :]).reshape(-1)
+            ukeys, pid = _unique_inverse(keys)
+            return {"keys": ukeys, "rows": (ukeys // ncols).astype(np.int64),
+                    "cols": (ukeys % ncols).astype(np.int64), "pid": pid}
 
-        facet_blocks = []
+        F_ie = _facet_pattern(fri, fre, ne)                # intra rows
+        F_ei = _facet_pattern(fre, fri, ni)                # extra rows
+        # facet entry -> pair index inside the side adjacency
+        keys_ii = (fri[:, :, None] * ni + fri[:, None, :]).reshape(-1)
+        pos_ii = np.searchsorted(pats["i"]["keys"], keys_ii)
+        keys_ee = (fre[:, :, None] * ne + fre[:, None, :]).reshape(-1)
+        pos_ee = np.searchsorted(pats["e"]["keys"], keys_ee)
+        assert np.array_equal(pats["i"]["keys"][pos_ii], keys_ii)
+        assert np.array_equal(pats["e"]["keys"][pos_ee], keys_ee)
+
+        mark("facet data")
+        # ------------------------------------------------------------------
+        # Build global CSR pattern analytically from the block structure
+        # ------------------------------------------------------------------
+        # pattern name -> (row-space indptr, per-pair rows/cols)
+        def _pat_indptr(pat, nrows):
+            ip = np.zeros(nrows + 1, dtype=np.int64)
+            np.add.at(ip, pat["rows"] + 1, 1)
+            return np.cumsum(ip)
+
+        F_ie["indptr"] = _pat_indptr(F_ie, ni)
+        F_ei["indptr"] = _pat_indptr(F_ei, ne)
+        patterns = {"vol_i": pats["i"], "vol_e": pats["e"],
+                    "fie": F_ie, "fei": F_ei}
+
+        def row_off(f):
+            return f * ni if f < nvar else nvar * ni + (f - nvar) * ne
+
+        def row_n(f):
+            return ni if f < nvar else ne
+
+        # per row field: (pattern, col field) in ascending col-offset order
+        block_defs = {}
         for k in range(N):
-            facet_blocks += [fpair(k, self.PHI_I), fpair(k, self.PHI_E),
-                             fpair(nvar + k, self.PHI_I), fpair(nvar + k, self.PHI_E)]
-        facet_blocks += [fpair(self.PHI_I, self.PHI_I), fpair(self.PHI_I, self.PHI_E),
-                         fpair(self.PHI_E, self.PHI_I), fpair(self.PHI_E, self.PHI_E)]
+            block_defs[k] = [("vol_i", k), ("vol_i", self.PHI_I),
+                             ("fie", self.PHI_E)]
+            block_defs[nvar + k] = [("fei", self.PHI_I),
+                                    ("vol_e", nvar + k),
+                                    ("vol_e", self.PHI_E)]
+        block_defs[self.PHI_I] = ([("vol_i", kk) for kk in range(N)]
+                                  + [("vol_i", self.PHI_I),
+                                     ("fie", self.PHI_E)])
+        block_defs[self.PHI_E] = ([("fei", self.PHI_I)]
+                                  + [("vol_e", nvar + kk) for kk in range(N)]
+                                  + [("vol_e", self.PHI_E)])
 
-        # ------------------------------------------------------------------
-        # Build global CSR pattern
-        # ------------------------------------------------------------------
-        dyn_rows = np.concatenate([b[0] for b in mat_blocks] + [b[0] for b in facet_blocks])
-        dyn_cols = np.concatenate([b[1] for b in mat_blocks] + [b[1] for b in facet_blocks])
-        st_rows = np.concatenate(static_rows)
-        st_cols = np.concatenate(static_cols)
-        st_vals = np.concatenate(static_vals)
-
-        bc_dofs = np.nonzero(bc_flag)[0]
-        all_rows = np.concatenate([st_rows, dyn_rows, bc_dofs])
-        all_cols = np.concatenate([st_cols, dyn_cols, bc_dofs])
-        if np.any(all_rows < 0) or np.any(all_cols < 0):
-            raise RuntimeError("Assembly references an inactive dof")
-
-        keys = all_rows * self.n_dofs + all_cols
-        uniq = inv = None
-        try:
-            from knp_emi_cgx_tpu import native
-
-            res = native.coalesce_coo(keys)
-            if res is not None:
-                uniq, inv = res
-        except Exception:
-            pass
-        if uniq is None:
-            uniq, inv = np.unique(keys, return_inverse=True)
-        self.nnz = nnz = uniq.shape[0]
+        counts = np.zeros(self.n_dofs, dtype=np.int64)
+        for f in range(nf):
+            deg = np.zeros(row_n(f), dtype=np.int64)
+            for patname, _cf in block_defs[f]:
+                deg += np.diff(patterns[patname]["indptr"])
+            counts[row_off(f):row_off(f) + row_n(f)] = deg
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        self.nnz = nnz = int(indptr[-1])
         # output sizes for the assembly scatters; rewritten by
         # apply_dof_remap for dof-sharded (padded, reordered) layouts
         self.nnz_out = nnz
         self.n_out = self.n_dofs
-        csr_rows = (uniq // self.n_dofs).astype(np.int64)
-        csr_cols = (uniq % self.n_dofs).astype(np.int64)
-        indptr = np.zeros(self.n_dofs + 1, dtype=np.int64)
-        np.add.at(indptr, csr_rows + 1, 1)
-        indptr = np.cumsum(indptr)
-        self.indptr = jnp.asarray(indptr, dtype=jnp.int32)
-        self.indices = jnp.asarray(csr_cols, dtype=jnp.int32)
-        from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
-        self.row_ids = expand_row_ids(indptr)
+
+        csr_cols = np.empty(nnz, dtype=np.int64)
+        block_slots = {}
+        for f in range(nf):
+            base = indptr[row_off(f):row_off(f) + row_n(f)].copy()
+            for patname, cf in block_defs[f]:
+                pat = patterns[patname]
+                E = pat["rows"].shape[0]
+                within = np.arange(E) - pat["indptr"][pat["rows"]]
+                slots = base[pat["rows"]] + within
+                csr_cols[slots] = row_off(cf) + pat["cols"]
+                block_slots[(f, patname, cf)] = slots
+                base += np.diff(pat["indptr"])
+
+        csr_rows = np.repeat(np.arange(self.n_dofs, dtype=np.int64), counts)
+        self.indptr = _dev(indptr, jnp.int32)
+        self.indices = _dev(csr_cols, jnp.int32)
+        self.row_ids = _dev(csr_rows, jnp.int32)
         self.csr_rows_np = csr_rows
         self.csr_cols_np = csr_cols
 
-        n_st = st_rows.shape[0]
-        n_dyn = dyn_rows.shape[0]
-        st_slots = inv[:n_st]
-        self.dyn_slots = jnp.asarray(inv[n_st:n_st + n_dyn], dtype=jnp.int32)
-        bc_diag_slots = inv[n_st + n_dyn:]
+        mark("csr build")
+        # ---- static values: per-pair sums placed at the block slots ----
+        A_raw = np.zeros(nnz)
+        for s in self._sides:
+            pat = pats[s["side"]]
+            ion_off, phi_f, Dkey = s["ion_off"], s["phi_f"], s["Dkey"]
+            vol = "vol_i" if s["side"] == "i" else "vol_e"
+            for k, ion in enumerate(p.ion_list):
+                D, z = ion[Dkey], ion["z"]
+                A_raw[block_slots[(ion_off + k, vol, ion_off + k)]] += \
+                    pat["M"] + p.dt * D * pat["K"]
+                A_raw[block_slots[(phi_f, vol, ion_off + k)]] += \
+                    p.dt * z * D * pat["K"]
 
-        # BC masking of static values (rows and columns zeroed; unit diagonal)
-        st_keep = (~bc_flag[st_rows]) & (~bc_flag[st_cols])
-        A_static = np.zeros(nnz)
-        np.add.at(A_static, st_slots, st_vals * st_keep)
-        np.add.at(A_static, bc_diag_slots, 1.0)
-        self.A_static_vals = jnp.asarray(A_static, dtype=dtype)
+        # ---- dynamic slot maps ----
+        # volume drift blocks land PAIR-level (assemble pre-sums per pair,
+        # block-major [(k,phi) for each ion, then (phi,phi)]); facet blocks
+        # stay entry-level (small), in the exact order assemble() emits them
+        for s in self._sides:
+            vol = "vol_i" if s["side"] == "i" else "vol_e"
+            ion_off, phi_f = s["ion_off"], s["phi_f"]
+            vol_slots = np.concatenate(
+                [block_slots[(ion_off + k, vol, phi_f)] for k in range(N)]
+                + [block_slots[(phi_f, vol, phi_f)]])
+            s["vol_slots_np"] = vol_slots
+            s["vol_slots"] = _dev(vol_slots, jnp.int32)
 
-        # dynamic value masks (static row/col -> static keep factors)
-        self.dyn_keep = jnp.asarray(
-            ((~bc_flag[dyn_rows]) & (~bc_flag[dyn_cols])).astype(np.float64),
-            dtype=dtype)
+        dyn_slots = []
+        for k in range(N):
+            dyn_slots += [
+                block_slots[(k, "vol_i", self.PHI_I)][pos_ii],
+                block_slots[(k, "fie", self.PHI_E)][F_ie["pid"]],
+                block_slots[(nvar + k, "fei", self.PHI_I)][F_ei["pid"]],
+                block_slots[(nvar + k, "vol_e", self.PHI_E)][pos_ee],
+            ]
+        dyn_slots += [
+            block_slots[(self.PHI_I, "vol_i", self.PHI_I)][pos_ii],
+            block_slots[(self.PHI_I, "fie", self.PHI_E)][F_ie["pid"]],
+            block_slots[(self.PHI_E, "fei", self.PHI_I)][F_ei["pid"]],
+            block_slots[(self.PHI_E, "vol_e", self.PHI_E)][pos_ee],
+        ]
+        dyn_slots = np.concatenate(dyn_slots)
+        self.dyn_slots = _dev(dyn_slots, jnp.int32)
 
-        # lifting structure for Dirichlet columns: b[row] -= A[row,col]*g[col]
+        mark("static vals + dyn slots")
+        # ---- BC masking (slot-level) + Dirichlet lifting ----
         if self.has_bcs:
-            lift_mask_st = (~bc_flag[st_rows]) & bc_flag[st_cols]
+            keep = (~bc_flag[csr_rows]) & (~bc_flag[csr_cols])
+            A_static = A_raw * keep
+            # unit diagonal on BC rows: locate each BC dof's diagonal slot
+            bc_dofs = np.nonzero(bc_flag)[0]
+            f_of = np.where(bc_dofs < nvar * ni, bc_dofs // ni,
+                            nvar + (bc_dofs - nvar * ni) // ne)
+            r_of = np.where(bc_dofs < nvar * ni, bc_dofs % ni,
+                            (bc_dofs - nvar * ni) % ne)
+            diag_slots = np.empty(len(bc_dofs), dtype=np.int64)
+            for f in np.unique(f_of):
+                m = f_of == f
+                vol = "vol_i" if f < nvar else "vol_e"
+                pat = patterns[vol]
+                dkeys = r_of[m] * (pat["n"] + 1)
+                dpos = np.searchsorted(pat["keys"], dkeys)
+                assert np.array_equal(pat["keys"][dpos], dkeys)
+                diag_slots[m] = block_slots[(int(f), vol, int(f))][dpos]
+            A_static[diag_slots] = 1.0
+
+            # lifting: b[row] -= A[row, col] * g[col] for interior rows,
+            # Dirichlet cols (coalesced-slot form of the reference's
+            # apply_lifting)
+            lift_mask = (~bc_flag[csr_rows]) & bc_flag[csr_cols]
             self._lift_static = (
-                jnp.asarray(st_vals * lift_mask_st, dtype=dtype),
-                jnp.asarray(st_rows, dtype=jnp.int32),
-                jnp.asarray(st_cols, dtype=jnp.int32),
+                _dev(A_raw * lift_mask, dtype),
+                _dev(csr_rows, jnp.int32),
+                _dev(csr_cols, jnp.int32),
             )
-            self._lift_dyn_mask = jnp.asarray(
-                ((~bc_flag[dyn_rows]) & bc_flag[dyn_cols]).astype(np.float64),
-                dtype=dtype)
-            self._dyn_rows = jnp.asarray(dyn_rows, dtype=jnp.int32)
-            self._dyn_cols = jnp.asarray(dyn_cols, dtype=jnp.int32)
+            # volume drift blocks: keep/lift masks at PAIR level (masking is
+            # a per-(row,col) property, identical before or after the
+            # per-pair pre-sum)
+            for s in self._sides:
+                pat = pats[s["side"]]
+                ion_off, phi_f = s["ion_off"], s["phi_f"]
+                vr, vc = [], []
+                for k in range(N):
+                    vr.append(row_off(ion_off + k) + pat["rows"])
+                    vc.append(row_off(phi_f) + pat["cols"])
+                vr.append(row_off(phi_f) + pat["rows"])
+                vc.append(row_off(phi_f) + pat["cols"])
+                vr = np.concatenate(vr)
+                vc = np.concatenate(vc)
+                s["vol_keep"] = _dev(
+                    ((~bc_flag[vr]) & (~bc_flag[vc])).astype(float), dtype)
+                s["vol_lift_mask"] = _dev(
+                    ((~bc_flag[vr]) & bc_flag[vc]).astype(float), dtype)
+                s["vol_rows"] = _dev(vr, jnp.int32)
+                s["vol_cols"] = _dev(vc, jnp.int32)
+
+            # facet blocks: entry-level masks (small)
+            def fpair(rowf, colf):
+                return self._bcast_pair(fd[rowf][mv], fd[colf][mv], d)
+
+            fb = []
+            for k in range(N):
+                fb += [fpair(k, self.PHI_I), fpair(k, self.PHI_E),
+                       fpair(nvar + k, self.PHI_I), fpair(nvar + k, self.PHI_E)]
+            fb += [fpair(self.PHI_I, self.PHI_I), fpair(self.PHI_I, self.PHI_E),
+                   fpair(self.PHI_E, self.PHI_I), fpair(self.PHI_E, self.PHI_E)]
+            dyn_rows = np.concatenate([b[0] for b in fb])
+            dyn_cols = np.concatenate([b[1] for b in fb])
+            self.dyn_keep = _dev(
+                ((~bc_flag[dyn_rows]) & (~bc_flag[dyn_cols])).astype(float),
+                dtype)
+            self._lift_dyn_mask = _dev(
+                ((~bc_flag[dyn_rows]) & bc_flag[dyn_cols]).astype(float),
+                dtype)
+            self._dyn_rows = _dev(dyn_rows, jnp.int32)
+            self._dyn_cols = _dev(dyn_cols, jnp.int32)
+        else:
+            A_static = A_raw
+            self.dyn_keep = None
+        self.A_static_vals = _dev(A_static, dtype)
         self.bc_flag = jnp.asarray(bc_flag)
 
+        mark("bc masks/lift")
         # ------------------------------------------------------------------
         # RHS structure
         # ------------------------------------------------------------------
@@ -351,7 +532,10 @@ class KNPEMIAssembler:
         for s in self._sides:
             ion_off = s["ion_off"]
             for k in range(N):
-                rhs_rows.append(field_dof[ion_off + k][s["Vt_np"]].ravel())
+                # volume RHS is pre-summed to vertex-rank level in assemble;
+                # rank r of field f lives at monolithic dof row_off(f) + r
+                f = ion_off + k
+                rhs_rows.append(row_off(f) + np.arange(s["nside"]))
         for f in list(range(N)) + [self.PHI_I]:
             rhs_rows.append(field_dof[f][mv].ravel())
         for f in list(range(nvar, nvar + N)) + [self.PHI_E]:
@@ -360,20 +544,21 @@ class KNPEMIAssembler:
         if mms is not None:
             self._setup_mms(rhs_rows, mverts, L_f, Nq, wq)
 
-        self.rhs_rows = jnp.asarray(np.concatenate(rhs_rows), dtype=jnp.int32)
-        self.rhs_keep = jnp.asarray(
-            (~bc_flag[np.concatenate(rhs_rows)]).astype(np.float64), dtype=dtype)
+        rhs_rows_np = np.concatenate(rhs_rows)
+        self.rhs_rows = _dev(rhs_rows_np, jnp.int32)
+        self.rhs_keep = (_dev((~bc_flag[rhs_rows_np]).astype(float), dtype)
+                         if self.has_bcs else None)
 
         # device arrays for facet evaluation
-        self.mverts = jnp.asarray(mverts, dtype=jnp.int32)
-        self.Nq = jnp.asarray(Nq, dtype=dtype)            # [nq, d]
-        self.wq = jnp.asarray(wq, dtype=dtype)
-        self.L_f = jnp.asarray(L_f, dtype=dtype)
-        self.model_masks = [jnp.asarray(m.astype(np.float64), dtype=dtype)
+        self.mverts = _dev(mverts, jnp.int32)
+        self.Nq = _dev(Nq, dtype)            # [nq, d]
+        self.wq = _dev(wq, dtype)
+        self.L_f = _dev(L_f, dtype)
+        self.model_masks = [_dev(m.astype(float), dtype)
                             for m in model_masks]
-        self.stim_facet_mask = jnp.asarray(
-            self.stim_facet_mask_np.astype(np.float64), dtype=dtype)
-        self.region_qp = jnp.asarray(region, dtype=dtype)
+        self.stim_facet_mask = _dev(
+            self.stim_facet_mask_np.astype(float), dtype)
+        self.region_qp = _dev(region, dtype)
 
         # per-field vertex source arrays (ion injection etc.)
         src = np.zeros((nf, nV))
@@ -383,15 +568,16 @@ class KNPEMIAssembler:
         if source_vertex_values:
             for f_idx, vals in source_vertex_values.items():
                 src[f_idx] = vals
-        self.src = jnp.asarray(src, dtype=dtype)
+        self.src = _dev(src, dtype)
 
+        mark("rhs structure + device arrays")
         # nullspace vector (constants on both potentials, normalised —
         # KNPEMIx_solver.py:297-335)
         ns = np.zeros(self.n_dofs)
         ns[field_dof[self.PHI_I][intra]] = 1.0
         ns[field_dof[self.PHI_E][extra]] = 1.0
         ns /= np.linalg.norm(ns)
-        self.nullspace = jnp.asarray(ns, dtype=dtype)
+        self.nullspace = _dev(ns, dtype)
 
     # -- device-array bundling (see utils/devicestate.py): every jnp array
     # the jitted step touches must be passed as an argument, not captured --
@@ -402,14 +588,15 @@ class KNPEMIAssembler:
         "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
         "_mms_arrays", "_mms_bc_entries", "const_bc_values",
     )
-    SIDE_ATTRS = ("Vt", "K_e", "M_e")
+    SIDE_ATTRS = ("Vt", "K_e", "M_e", "pair_id", "rank_flat", "vol_slots",
+                  "vol_keep", "vol_lift_mask", "vol_rows", "vol_cols")
 
     def device_state(self):
         from knp_emi_cgx_tpu.utils.devicestate import collect
 
         st = {"attrs": collect(self, self.DEVICE_ATTRS),
               "model_masks": list(self.model_masks),
-              "sides": [{k: s[k] for k in self.SIDE_ATTRS}
+              "sides": [{k: s[k] for k in self.SIDE_ATTRS if s.get(k) is not None}
                         for s in self._sides]}
         if self.has_bcs:
             st["lift_static"] = self._lift_static
@@ -456,6 +643,13 @@ class KNPEMIAssembler:
         self.A_static_vals = jnp.asarray(A_pad, dtype=dtype)
         self.rhs_rows = jnp.asarray(newpos[np.asarray(self.rhs_rows)],
                                     dtype=it)
+        for s in self._sides:
+            s["vol_slots"] = jnp.asarray(new_of[s["vol_slots_np"]], dtype=it)
+            if s.get("vol_rows") is not None:
+                s["vol_rows"] = jnp.asarray(
+                    newpos[np.asarray(s["vol_rows"])], dtype=it)
+                s["vol_cols"] = jnp.asarray(
+                    newpos[np.asarray(s["vol_cols"])], dtype=it)
 
         bc_flag = np.zeros(halo.n_padded, dtype=bool)
         bc_flag[newpos] = self.bc_flag_np
@@ -745,22 +939,37 @@ class KNPEMIAssembler:
 
         dyn_vals = []
         rhs_vals = []
+        vol_scatters = []   # (slots, masked pair vals, raw pair vals) per side
 
         # ---- volume dynamic blocks + volume RHS ----
+        # drift blocks are pre-summed per vertex PAIR and the RHS per vertex
+        # RANK before the global scatter — the scatter then moves O(E)
+        # values instead of O(16*nc)
         for s in self._sides:
             Vt, K_e, M_e = s["Vt"], s["K_e"], s["M_e"]
             ion_off, Dkey = s["ion_off"], s["Dkey"]
+            coefs = []
             phi_coef = 0.0
             for k, ion in enumerate(p.ion_list):
                 D, z = ion[Dkey], ion["z"]
                 kmean = jnp.mean(u[ion_off + k][Vt], axis=1)          # [nc]
-                dyn_vals.append(
-                    ((dt * D * z / p.psi) * kmean)[:, None, None] * K_e)
+                coefs.append((dt * D * z / p.psi) * kmean)
                 phi_coef = phi_coef + (dt * z * z * D / p.psi) * kmean
-                # RHS: (k_prev, v) + dt*(f, v)
+                # RHS: (k_prev, v) + dt*(f, v), pre-summed to rank level
                 fvals = u[ion_off + k][Vt] + dt * self.src[ion_off + k][Vt]
-                rhs_vals.append(jnp.einsum("cab,cb->ca", M_e, fvals))
-            dyn_vals.append(phi_coef[:, None, None] * K_e)
+                contrib = jnp.einsum("cab,cb->ca", M_e, fvals)
+                rhs_vals.append(jax.ops.segment_sum(
+                    contrib.reshape(-1), s["rank_flat"],
+                    num_segments=s["nside"]))
+            coefs.append(phi_coef)
+            C = jnp.stack(coefs)                                      # [nvar, nc]
+            prods = (C[:, :, None, None] * K_e[None]).reshape(self.nvar, -1)
+            pv = jax.ops.segment_sum(prods.T, s["pair_id"],
+                                     num_segments=s["E"])             # [E, nvar]
+            pvf = pv.T.reshape(-1)           # block-major [(k,phi)..., (phi,phi)]
+            masked = (pvf * s["vol_keep"] if "vol_keep" in s and
+                      s.get("vol_keep") is not None else pvf)
+            vol_scatters.append((s["vol_slots"], masked, pvf, s))
 
         # ---- facet quantities ----
         q = self.facet_qp_fields(u, phi_m, gates)
@@ -816,9 +1025,15 @@ class KNPEMIAssembler:
         rhs_flat = jnp.concatenate([v.reshape(-1) for v in rhs_vals])
 
         # ---- scatter ----
+        if self.dyn_keep is not None:
+            dyn_flat = dyn_flat * self.dyn_keep
+        if self.rhs_keep is not None:
+            rhs_flat = rhs_flat * self.rhs_keep
         csr_vals = self.A_static_vals + jax.ops.segment_sum(
-            dyn_flat * self.dyn_keep, self.dyn_slots, num_segments=self.nnz_out)
-        b = jax.ops.segment_sum(rhs_flat * self.rhs_keep, self.rhs_rows,
+            dyn_flat, self.dyn_slots, num_segments=self.nnz_out)
+        for slots, masked, _raw, _s in vol_scatters:
+            csr_vals = csr_vals.at[slots].add(masked)
+        b = jax.ops.segment_sum(rhs_flat, self.rhs_rows,
                                 num_segments=self.n_out)
 
         if self.has_bcs:
@@ -830,6 +1045,10 @@ class KNPEMIAssembler:
             lift = lift + jax.ops.segment_sum(
                 dyn_flat * self._lift_dyn_mask * bc_values[self._dyn_cols],
                 self._dyn_rows, num_segments=self.n_out)
+            for _slots, _masked, raw, s in vol_scatters:
+                lift = lift + jax.ops.segment_sum(
+                    raw * s["vol_lift_mask"] * bc_values[s["vol_cols"]],
+                    s["vol_rows"], num_segments=self.n_out)
             b = b - lift
             b = jnp.where(self.bc_flag, bc_values, b)
 
