@@ -446,6 +446,32 @@ class KNPEMIAssembler:
         dyn_slots = np.concatenate(dyn_slots)
         self.dyn_slots = _dev(dyn_slots, jnp.int32)
 
+        # ---- nullspace-repair structure (selective-f64 solves) ----
+        # The f32-assembled operator has no EXACT nullspace (independently
+        # rounded values break the zero row-sum over potential columns that
+        # the continuous operator guarantees).  For f64 solves of the
+        # pure-Neumann system, solvers/refine.py restores discrete
+        # compatibility by subtracting each row's phi-column sum from the
+        # row's phi-partner entry — a per-entry correction below f32
+        # assembly error.  Here: the partner slot per row (the (v,v) pair of
+        # the row field's (f, phi) block) and the phi-column indicator.
+        repair = np.empty(self.n_dofs, dtype=np.int64)
+        for f in range(nf):
+            side = "i" if f < nvar else "e"
+            pat = pats[side]
+            volp = "vol_i" if f < nvar else "vol_e"
+            phi_f = self.PHI_I if f < nvar else self.PHI_E
+            dkeys = np.arange(pat["n"], dtype=np.int64) * (pat["n"] + 1)
+            dpos = np.searchsorted(pat["keys"], dkeys)
+            assert np.array_equal(pat["keys"][dpos], dkeys)
+            repair[row_off(f):row_off(f) + pat["n"]] = \
+                block_slots[(f, volp, phi_f)][dpos]
+        self.phi_repair_slots = _dev(repair, jnp.int32)
+        is_phi_dof = np.zeros(self.n_dofs, dtype=bool)
+        is_phi_dof[row_off(self.PHI_I):row_off(self.PHI_I) + ni] = True
+        is_phi_dof[row_off(self.PHI_E):row_off(self.PHI_E) + ne] = True
+        self.phi_col_mask = _dev(is_phi_dof[csr_cols].astype(float), dtype)
+
         mark("static vals + dyn slots")
         # ---- BC masking (slot-level) + Dirichlet lifting ----
         if self.has_bcs:
@@ -584,6 +610,7 @@ class KNPEMIAssembler:
     DEVICE_ATTRS = (
         "A_static_vals", "dyn_slots", "dyn_keep", "rhs_rows", "rhs_keep",
         "indices", "indptr", "row_ids", "nullspace", "src", "bc_flag",
+        "phi_repair_slots", "phi_col_mask",
         "mverts", "Nq", "wq", "L_f", "stim_facet_mask", "region_qp",
         "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
         "_mms_arrays", "_mms_bc_entries", "const_bc_values",
@@ -650,6 +677,15 @@ class KNPEMIAssembler:
                     newpos[np.asarray(s["vol_rows"])], dtype=it)
                 s["vol_cols"] = jnp.asarray(
                     newpos[np.asarray(s["vol_cols"])], dtype=it)
+        # nullspace-repair structure: slots into the padded value layout,
+        # per-row entries scattered to padded rows (pad rows: self-slot 0
+        # with zero mask — harmless)
+        rep_pad = np.zeros(halo.n_padded, dtype=np.int64)
+        rep_pad[newpos] = new_of[np.asarray(self.phi_repair_slots)]
+        self.phi_repair_slots = jnp.asarray(rep_pad, dtype=it)
+        mask_pad = np.zeros(vg.shape[0])
+        mask_pad[new_of] = np.asarray(self.phi_col_mask)
+        self.phi_col_mask = jnp.asarray(mask_pad, dtype=dtype)
 
         bc_flag = np.zeros(halo.n_padded, dtype=bool)
         bc_flag[newpos] = self.bc_flag_np

@@ -376,6 +376,18 @@ class SolverKNPEMI:
         self.rtol = float(ksp.get("ksp_rtol", 1e-8))
         self.restart = int(ksp.get("restart", 30))
         self.pc_mode = str(ksp.get("pc_mode", "dense"))
+        # solve precision (production rtol 1e-9 needs more than f32 —
+        # solvers/refine.py and solvers/df32.py):
+        #   "f32"  — plain f32 Krylov (fast; certifies ~1e-7 real residual)
+        #   "f64"  — selective f64 Krylov (reference-exact; TPU-emulated,
+        #            large meshes hit runtime scatter limits)
+        #   "df32" — double-f32 compensated Krylov (~2^-48 effective, pure
+        #            f32 tensor ops — the TPU-native production path)
+        # `mixed_precision: true` is an alias for "f64".
+        self.mixed_precision = bool(ksp.get("mixed_precision", False))
+        self.precision = str(ksp.get(
+            "precision", "f64" if self.mixed_precision else "f32"))
+        self.mixed_precision = self.precision == "f64"
         self.time_steps = problem.cfg.time_steps
         self.iterations: list[int] = []
         self.assembly_time: list[float] = []
@@ -397,7 +409,13 @@ class SolverKNPEMI:
             u0 = getattr(p, "_u0_np", None)
             if u0 is None:
                 u0 = np.asarray(state0.u)   # fallback: costs the D2H switch
-            self._pc = BlockDiagonalPreconditioner(a, u0, mode=self.pc_mode)
+            # selective-f64 solves need the preconditioner STORED at f64 so
+            # it applies as a fixed operator in f64 arithmetic (an f32-cast
+            # wrapper is a noisy operator — see solvers/refine.py)
+            pc_dtype = jnp.float64 if self.mixed_precision else None
+            self._pc = BlockDiagonalPreconditioner(
+                a, u0, mode=self.pc_mode, dtype=pc_dtype,
+                df=self.precision == "df32")
 
         # gather maps for scattering x back into field arrays
         fd = a.field_dof
@@ -412,11 +430,29 @@ class SolverKNPEMI:
         pc = self._pc
         rtol, restart = self.rtol, self.restart
         direct = self.direct
+        mixed_precision = self.mixed_precision
+        df32_mode = self.precision == "df32"
+
+        ell = None
+        ns_df = None
+        if df32_mode and not direct:
+            from knp_emi_cgx_tpu.solvers.df32 import EllMatrix, df_from_f64
+
+            ell = EllMatrix(np.asarray(a.indptr), np.asarray(a.indices))
+            self._ell = ell
+            if has_neumann:
+                mask = (np.asarray(a.nullspace) != 0).astype(np.float64)
+                ns_exact = jnp.asarray(mask / np.linalg.norm(mask))
+                ns_df = df_from_f64(ns_exact)
 
         # Every device array goes through the bundle ARGUMENT: closure
         # constants would be re-shipped to the device on each execution
         # (see utils/devicestate.py).
         bundle = {"a": a.device_state(), "scat": scat}
+        if ell is not None:
+            bundle["ell"] = ell.device_state()
+            if ns_df is not None:
+                bundle["ns_df"] = ns_df
         if pc is not None:
             bundle["pc"] = pc.device_state()
         self._bundle = bundle
@@ -424,6 +460,7 @@ class SolverKNPEMI:
         def step(state: KNPEMIState, bundle):
             old_a = a.install_device_state(bundle["a"])
             old_pc = pc.install(bundle["pc"]) if pc is not None else None
+            old_ell = ell.install(bundle["ell"]) if ell is not None else None
             try:
                 t_new = state.t + params.dt
                 n_, m_, h_ = state.n, state.m, state.h
@@ -455,6 +492,40 @@ class SolverKNPEMI:
                     else:
                         x = dense_solve(a.indptr, a.indices, vals, b)
                     its = jnp.array(0)
+                elif df32_mode:
+                    from knp_emi_cgx_tpu.solvers.df32 import (
+                        gmres_df32, repaired_ell_values, df_from_f32)
+
+                    if has_neumann:
+                        ell_h, ell_l = repaired_ell_values(
+                            ell, vals, a.phi_col_mask, a.phi_repair_slots)
+                    else:
+                        ell_h, ell_l = ell.ell_values(vals), None
+
+                    def mv_df(xh, xl):
+                        if ell_l is None:
+                            return ell.matvec_df(ell_h, xh, xl)
+                        return ell.matvec_df2(ell_h, ell_l, xh, xl)
+
+                    res = gmres_df32(
+                        mv_df, b, state.x[0], state.x[1],
+                        M=pc.apply_df if pc is not None else None,
+                        nullspace_df=bundle.get("ns_df"),
+                        rtol=rtol, restart=restart)
+                    x = jnp.stack([res.xh, res.xl])
+                    its = res.iterations
+                elif mixed_precision:
+                    from knp_emi_cgx_tpu.solvers.refine import solve_f64
+
+                    res = solve_f64(
+                        vals, b, state.x, a.indices, a.row_ids, a.n_dofs,
+                        M=pc, nullspace=a.nullspace if has_neumann else None,
+                        rtol=rtol, restart=restart,
+                        project_nullspace=has_neumann,
+                        repair=((a.phi_repair_slots, a.phi_col_mask)
+                                if has_neumann else None))
+                    x = res.x   # stays f64 across steps (exact warm start)
+                    its = res.iterations
                 else:
                     indices, row_ids = a.indices, a.row_ids
                     n_dofs = a.n_dofs
@@ -468,9 +539,10 @@ class SolverKNPEMI:
                     its = res.iterations
 
                 u = state.u
+                x_point = x[0] + x[1] if df32_mode else x
                 for f in range(a.nf):
                     verts, dofs = bundle["scat"][f]
-                    u = u.at[f, verts].set(x[dofs])
+                    u = u.at[f, verts].set(x_point[dofs].astype(u.dtype))
                 phi_m = u[a.PHI_I] - u[a.PHI_E]
                 return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
                                    t=t_new, x=x), its
@@ -478,6 +550,8 @@ class SolverKNPEMI:
                 a.install_device_state(old_a)
                 if pc is not None:
                     pc.install(old_pc)
+                if ell is not None:
+                    ell.install(old_ell)
 
         jitted = jax.jit(step)
 
@@ -495,6 +569,14 @@ class SolverKNPEMI:
         p = self.problem
         if state is None:
             state = p.initial_state()
+        if self.mixed_precision:
+            # x lives in f64 across steps (exact warm starts); fields stay
+            # in the problem dtype
+            state = state._replace(x=state.x.astype(jnp.float64))
+        elif self.precision == "df32" and state.x.ndim == 1:
+            # x lives as a [2, n] (hi, lo) double-f32 pair across steps
+            state = state._replace(
+                x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
 
@@ -537,6 +619,11 @@ class SolverKNPEMI:
     def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:
         """Pure on-device time loop (lax.scan) — no host round-trips; used
         for benchmarking and production runs without per-step I/O."""
+        if self.mixed_precision:
+            state = state._replace(x=state.x.astype(jnp.float64))
+        elif self.precision == "df32" and state.x.ndim == 1:
+            state = state._replace(
+                x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
         step = self._step_fn or self._build_step(state)
 
         def body(s, _):

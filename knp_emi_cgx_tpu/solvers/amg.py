@@ -96,10 +96,12 @@ class AMGLevel:
 
     ARRAYS = ("A_indices", "A_row_ids", "A_vals", "dinv",
               "P_indices", "P_row_ids", "P_vals",
-              "R_indices", "R_row_ids", "R_vals")
+              "R_indices", "R_row_ids", "R_vals",
+              "A_ell_cols", "A_ell_vals", "P_ell_cols", "P_ell_vals",
+              "R_ell_cols", "R_ell_vals")
 
     def __init__(self, A: sp.csr_matrix, P: sp.csr_matrix | None, lam_max: float,
-                 dtype):
+                 dtype, df: bool = False):
         from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
 
         self.n = A.shape[0]
@@ -109,6 +111,7 @@ class AMGLevel:
         self.dinv = jnp.asarray(1.0 / A.diagonal(), dtype=dtype)
         self.lam_max = lam_max
         self.has_P = P is not None
+        Pc = Rc = None
         if P is not None:
             Pc = P.tocsr()
             Rc = P.T.tocsr()
@@ -119,6 +122,21 @@ class AMGLevel:
             self.R_indices = jnp.asarray(Rc.indices, dtype=jnp.int32)
             self.R_row_ids = expand_row_ids(Rc.indptr)
             self.R_vals = jnp.asarray(Rc.data, dtype=dtype)
+        if df:
+            # compensated (double-f32) application path: ELL layouts whose
+            # row reductions are df_add trees (solvers/df32.py)
+            from knp_emi_cgx_tpu.solvers.df32 import EllMatrix
+
+            ellA = EllMatrix(A.indptr, A.indices)
+            self.A_ell_cols = ellA.cols
+            self.A_ell_vals = ellA.ell_values(self.A_vals)
+            if P is not None:
+                ellP = EllMatrix(Pc.indptr, Pc.indices)
+                self.P_ell_cols = ellP.cols
+                self.P_ell_vals = ellP.ell_values(self.P_vals)
+                ellR = EllMatrix(Rc.indptr, Rc.indices)
+                self.R_ell_cols = ellR.cols
+                self.R_ell_vals = ellR.ell_values(self.R_vals)
 
 
 class SmoothedAggregationAMG:
@@ -127,29 +145,30 @@ class SmoothedAggregationAMG:
     def __init__(self, A: sp.csr_matrix, dtype=jnp.float64,
                  max_levels: int = 10, coarse_size: int = 200,
                  theta: float = 0.08, omega: float = 4.0 / 3.0,
-                 smooth_iters: int = 2):
+                 smooth_iters: int = 2, df: bool = False):
         self.dtype = dtype
         self.smooth_iters = smooth_iters
+        self.df = df
         self.levels: list[AMGLevel] = []
 
         A = A.tocsr()
         for _ in range(max_levels):
             lam = _lam_max_jacobi(A)
             if A.shape[0] <= coarse_size:
-                self.levels.append(AMGLevel(A, None, lam, dtype))
+                self.levels.append(AMGLevel(A, None, lam, dtype, df=df))
                 break
             C = _strength_graph(A, theta)
             agg = _aggregate(C if C.nnz else sp.csr_matrix(A.shape))
             nagg = int(agg.max()) + 1
             if nagg >= A.shape[0]:  # no coarsening possible
-                self.levels.append(AMGLevel(A, None, lam, dtype))
+                self.levels.append(AMGLevel(A, None, lam, dtype, df=df))
                 break
             P0 = sp.csr_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], nagg))
             Dinv = sp.diags(1.0 / A.diagonal())
             P = P0 - (omega / lam) * (Dinv @ (A @ P0))
-            self.levels.append(AMGLevel(A, P, lam, dtype))
+            self.levels.append(AMGLevel(A, P, lam, dtype, df=df))
             A = (P.T @ A @ P).tocsr()
             A.sort_indices()
         # coarsest dense inverse (host — the matrix is tiny)
@@ -208,3 +227,44 @@ class SmoothedAggregationAMG:
 
     def __call__(self, b):
         return self._cycle(0, b)
+
+    # ------------------------------------------------------------------
+    # compensated (double-f32) application — requires df=True at setup
+    # ------------------------------------------------------------------
+    def _smooth_df(self, level: AMGLevel, xh, xl, bh, bl):
+        from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32,
+                                                  ell_mv_df)
+
+        lam = level.lam_max
+        weights = (np.float32(1.0 / (0.7 * lam)), np.float32(1.0 / (1.1 * lam)))
+        for it in range(self.smooth_iters):
+            omega = weights[it % 2]
+            yh, yl = ell_mv_df(level.A_ell_cols, level.A_ell_vals, xh, xl)
+            rh, rl = df_add(bh, bl, -yh, -yl)
+            uh, ul = df_scale_f32(rh, rl, level.dinv)
+            uh, ul = df_scale_f32(uh, ul, omega)
+            xh, xl = df_add(xh, xl, uh, ul)
+        return xh, xl
+
+    def _cycle_df(self, k: int, bh, bl):
+        from knp_emi_cgx_tpu.solvers.df32 import (df_add, dense_mv_df,
+                                                  ell_mv_df, df_zeros_like)
+
+        level = self.levels[k]
+        if not level.has_P:
+            return dense_mv_df(self.coarse_inv.astype(jnp.float32), bh, bl)
+        z = df_zeros_like(bh)
+        xh, xl = self._smooth_df(level, z[0], z[1], bh, bl)
+        yh, yl = ell_mv_df(level.A_ell_cols, level.A_ell_vals, xh, xl)
+        rh, rl = df_add(bh, bl, -yh, -yl)
+        rch, rcl = ell_mv_df(level.R_ell_cols, level.R_ell_vals, rh, rl)
+        xch, xcl = self._cycle_df(k + 1, rch, rcl)
+        eh, el = ell_mv_df(level.P_ell_cols, level.P_ell_vals, xch, xcl)
+        xh, xl = df_add(xh, xl, eh, el)
+        return self._smooth_df(level, xh, xl, bh, bl)
+
+    def apply_df(self, rh, rl):
+        """Fixed-to-df-accuracy V-cycle apply on a df32 vector."""
+        if not hasattr(self.levels[0], "A_ell_cols"):
+            raise RuntimeError("build SmoothedAggregationAMG with df=True")
+        return self._cycle_df(0, rh, rl)

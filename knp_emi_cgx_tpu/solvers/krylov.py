@@ -33,7 +33,8 @@ def _identity(x):
 
 
 @functools.partial(jax.jit, static_argnames=("matvec", "M", "restart",
-                                             "max_outer", "project_nullspace"))
+                                             "max_outer", "project_nullspace",
+                                             "norm0"))
 def gmres(matvec: Callable,
           b: jnp.ndarray,
           x0: jnp.ndarray,
@@ -42,7 +43,8 @@ def gmres(matvec: Callable,
           rtol: float = 1e-8,
           restart: int = 30,
           max_outer: int = 50,
-          project_nullspace: bool = False) -> GMRESResult:
+          project_nullspace: bool = False,
+          norm0: str = "Mb") -> GMRESResult:
     """Left-preconditioned restarted GMRES solving A x = b.
 
     matvec : x -> A @ x
@@ -51,6 +53,9 @@ def gmres(matvec: Callable,
         vectors are kept orthogonal to n (PETSc MatNullSpace equivalent); the
         returned x keeps x0's nullspace component, like PETSc KSP.
     rtol   : relative tolerance on the preconditioned residual norm.
+    norm0  : what rtol is relative to — "Mb" (||M b||) or "r0" (the initial
+        preconditioned residual ||M (b - A x0)||, PETSc KSPConvergedDefault
+        semantics with a nonzero initial guess).
     """
     if M is None:
         M = _identity
@@ -64,8 +69,14 @@ def gmres(matvec: Callable,
         return v - jnp.dot(nullspace, v) * nullspace
 
     b = proj(b)
-    norm_Mb = jnp.linalg.norm(M(b))
-    tol = rtol * jnp.maximum(norm_Mb, eps_floor)
+    # the post-M projection matches PETSc's KSP_PCApply, which removes the
+    # attached nullspace from every preconditioner application — the
+    # convergence denominator is ||proj(M b)||
+    if norm0 == "r0":
+        norm_ref = jnp.linalg.norm(proj(M(b - matvec(x0))))
+    else:
+        norm_ref = jnp.linalg.norm(proj(M(b)))
+    tol = rtol * jnp.maximum(norm_ref, eps_floor)
 
     def arnoldi_cycle(x):
         r = proj(M(b - matvec(x)))

@@ -93,11 +93,17 @@ def _build_blocks(assembler, u0_np):
 
 
 class BlockDiagonalPreconditioner:
-    def __init__(self, assembler, u0, mode: str = "dense", dtype=None):
+    def __init__(self, assembler, u0, mode: str = "dense", dtype=None,
+                 df: bool = False):
+        """df: also build the compensated double-f32 application path
+        (`apply_df`) — the production-tolerance preconditioner on TPU, where
+        a plain f32 apply is a noisy operator that stalls the df32 Krylov
+        recurrence (solvers/df32.py)."""
         dtype = dtype or assembler.dtype
         u0_np = np.asarray(u0, dtype=np.float64)
         blocks = _build_blocks(assembler, u0_np)
         self.mode = mode
+        self.df = df
         self.sizes = [b.shape[0] for b in blocks]
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         assert self.offsets[-1] == assembler.n_dofs
@@ -134,7 +140,8 @@ class BlockDiagonalPreconditioner:
         def amg_of(i, b):
             from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
 
-            return ("amg", SmoothedAggregationAMG(b.tocsr(), dtype=dtype))
+            return ("amg", SmoothedAggregationAMG(b.tocsr(), dtype=dtype,
+                                                  df=df))
 
         self.apply_blocks = []
         for i, b in enumerate(blocks):
@@ -194,6 +201,27 @@ class BlockDiagonalPreconditioner:
             else:
                 outs.append(_chebyshev(data, seg))
         return jnp.concatenate(outs)
+
+    def apply_df(self, rh, rl):
+        """Compensated double-f32 apply (requires df=True at construction).
+        A fixed linear operator to ~2^-48 accuracy — usable inside the df32
+        production-tolerance GMRES without stalling its recurrence."""
+        from knp_emi_cgx_tpu.solvers.df32 import dense_mv_df
+
+        outs_h, outs_l = [], []
+        for i, (kind, data) in enumerate(self.apply_blocks):
+            sh = rh[self.offsets[i]:self.offsets[i + 1]]
+            sl = rl[self.offsets[i]:self.offsets[i + 1]]
+            if kind == "dense":
+                yh, yl = dense_mv_df(data.astype(jnp.float32), sh, sl)
+            elif kind == "amg":
+                yh, yl = data.apply_df(sh, sl)
+            else:
+                raise NotImplementedError(
+                    "df32 apply supports dense/amg block modes")
+            outs_h.append(yh)
+            outs_l.append(yl)
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
 
 def _chebyshev(blk, b, lam_min_frac=0.06):
