@@ -353,6 +353,13 @@ class SolverEMI:
         self.direct = bool(sc.get("direct", True))
         ksp = sc.get("ksp_settings", {}) or {}
         self.rtol = float(ksp.get("ksp_rtol", 1e-8))
+        # EMI iterative defaults (tuned on the square MMS at rtol 1e-10,
+        # mesh-robust 22/19/14 its at N=16/32/64): stronger smoothing + two
+        # V-cycles per application halves the iteration count vs the single
+        # default V-cycle (34 its) — the jump-penalty membrane term needs
+        # the extra smoothing that hypre gets from its default relaxation
+        self.amg_cycles = int(ksp.get("amg_cycles", 2))
+        self.smooth_iters = int(ksp.get("smooth_iters", 3))
         self.time_steps = problem.cfg.time_steps
         self.iterations: list[int] = []
         self._step = None
@@ -394,7 +401,8 @@ class SolverEMI:
             # preconditioning (which ignores the dominant membrane coupling
             # at small dt) — an improvement over the reference's per-block
             # preconditioner (EMIx_problem.py:240-245).
-            self._amg = SmoothedAggregationAMG(p.A_host.tocsr(), dtype=p.dtype)
+            self._amg = SmoothedAggregationAMG(p.A_host.tocsr(), dtype=p.dtype,
+                                               smooth_iters=self.smooth_iters)
             solve_arrays = {
                 "A_vals": p.A_vals, "indices": p.indices,
                 "row_ids": p.row_ids, "ns": p.nullspace,
@@ -412,6 +420,7 @@ class SolverEMI:
         rtol = self.rtol
         direct = self.direct
         amg = self._amg
+        cycles = self.amg_cycles
 
         def step(state: EMIState, bundle):
             old = {k: getattr(p, k) for k in bundle["rhs"]}
@@ -433,10 +442,19 @@ class SolverEMI:
                 else:
                     sa = bundle["solve"]
                     old_amg = amg.install(sa["amg"])
+
+                    def matvec(v):
+                        return csr_mv(sa["A_vals"], v, sa["indices"],
+                                      sa["row_ids"], p.n_dofs)
+
+                    def M(r):
+                        x = amg(r)
+                        for _ in range(cycles - 1):
+                            x = x + amg(r - matvec(x))
+                        return x
+
                     res = gmres(
-                        lambda v: csr_mv(sa["A_vals"], v, sa["indices"],
-                                         sa["row_ids"], p.n_dofs),
-                        b, state.x, M=amg,
+                        matvec, b, state.x, M=M,
                         nullspace=None if p.has_bcs else sa["ns"],
                         rtol=rtol, project_nullspace=not p.has_bcs)
                     amg.install(old_amg)

@@ -85,7 +85,10 @@ def test_emi_direct_vs_iterative():
     ei, solver = _run_mms(16, direct=False)
     for f in ("phi_i", "phi_e"):
         assert abs(ed[f] - ei[f]) / ed[f] < 1e-4
-    assert max(solver.iterations) < 40
+    # whole-operator AMG with smooth_iters=3 + 2 V-cycles/apply: 19 its at
+    # 32^2, rtol 1e-10 — mesh-robust and IMPROVING under refinement
+    # (22/19/14 at N=16/32/64); the round-1 single-V-cycle default took 34
+    assert max(solver.iterations) <= 25, solver.iterations
 
 
 def test_emi_hh_smoke():
