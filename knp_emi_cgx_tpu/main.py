@@ -152,6 +152,12 @@ def main():
                         help="capture a jax.profiler trace to LOGDIR")
     args = parser.parse_args()
 
+    # multi-process launch (mpirun equivalent): KNPEMI_COORDINATOR /
+    # KNPEMI_NUM_PROCESSES / KNPEMI_PROCESS_ID env vars; no-op otherwise
+    from knp_emi_cgx_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     if args.cpu:
         import sys
 
