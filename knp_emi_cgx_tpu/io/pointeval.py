@@ -19,6 +19,11 @@ class PointEvaluator:
         grads, vols = cell_geometry(mesh.points, cells)
         self.vertex_ids = np.zeros((len(points), mesh.dim + 1), dtype=np.int64)
         self.weights = np.zeros((len(points), mesh.dim + 1))
+        # containing cell per point, in the ORIGINAL mesh numbering (used by
+        # geometry/tag slicing in the plot scripts)
+        self.cell_ids = np.zeros(len(points), dtype=np.int64)
+        subset = (np.arange(mesh.num_cells) if cells_subset is None
+                  else np.asarray(cells_subset))
         x0 = mesh.points[cells[:, 0]]
         for i, pt in enumerate(points):
             # barycentric coordinates via the P1 gradients:
@@ -32,6 +37,7 @@ class PointEvaluator:
                 idx = [int(np.argmax(lam.min(axis=1)))]
             c = idx[0]
             self.vertex_ids[i] = cells[c]
+            self.cell_ids[i] = subset[c]
             self.weights[i] = np.clip(lam[c], 0.0, 1.0)
             self.weights[i] /= self.weights[i].sum()
 
