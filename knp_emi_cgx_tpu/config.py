@@ -216,6 +216,12 @@ def parse_config(config: dict[str, Any], base_dir: str = ".") -> SimulationConfi
     c.C_M_value = float(config.get("C_M", 1.0))
     c.mesh_conversion_factor = float(config.get("mesh_conversion_factor", 1.0))
     c.fem_order = int(config.get("fem_order", 1))
+    if c.fem_order != 1:
+        # advertised schema surface must not silently no-op: only P1 exists
+        # (the reference parses fem_order too but all its configs use 1,
+        # mixed_dim_problem.py:207-208)
+        raise RuntimeError(
+            f"fem_order={c.fem_order} is not supported (P1 only)")
     c.dirichlet_bcs = bool(config.get("dirichlet_bcs", False))
     c.pin_ecs_potential = bool(config.get("pin_ecs_potential", False))
 
