@@ -399,6 +399,10 @@ class KNPEMIAssembler:
         self.indptr = _dev(indptr, jnp.int32)
         self.indices = _dev(csr_cols, jnp.int32)
         self.row_ids = _dev(csr_rows, jnp.int32)
+        # host copies: solver/partitioner setup must NEVER read a device
+        # array back (the first D2H flips the axon runtime into a ~3000x
+        # slower synchronous per-kernel mode for the rest of the process)
+        self.indptr_np = indptr
         self.csr_rows_np = csr_rows
         self.csr_cols_np = csr_cols
 
@@ -603,6 +607,7 @@ class KNPEMIAssembler:
         ns[field_dof[self.PHI_I][intra]] = 1.0
         ns[field_dof[self.PHI_E][extra]] = 1.0
         ns /= np.linalg.norm(ns)
+        self.nullspace_np = ns
         self.nullspace = _dev(ns, dtype)
 
     # -- device-array bundling (see utils/devicestate.py): every jnp array
@@ -704,7 +709,8 @@ class KNPEMIAssembler:
             self._dyn_cols = jnp.asarray(newpos[np.asarray(self._dyn_cols)],
                                          dtype=it)
         ns = np.zeros(halo.n_padded)
-        ns[newpos] = np.asarray(self.nullspace)
+        ns[newpos] = self.nullspace_np
+        self.nullspace_np = ns
         self.nullspace = jnp.asarray(ns, dtype=dtype)
         if self.mms is not None:
             self._mms_bc_entries = {

@@ -208,7 +208,7 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     state = problem.initial_state()
 
     _, dof_part = vertex_dof_partition(a, n_devices)
-    halo = HaloSpMV(np.asarray(a.indptr), np.asarray(a.indices), a.n_dofs,
+    halo = HaloSpMV(a.indptr_np, a.csr_cols_np, a.n_dofs,
                     n_devices, axis=axis, part=dof_part)
     pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
                                         device_mesh, iters=cheb_iters,

@@ -438,10 +438,12 @@ class SolverKNPEMI:
         if df32_mode and not direct:
             from knp_emi_cgx_tpu.solvers.df32 import EllMatrix, df_from_f64
 
-            ell = EllMatrix(np.asarray(a.indptr), np.asarray(a.indices))
+            # host copies only: a device readback here would flip the axon
+            # runtime into its synchronous per-kernel mode (~3000x/step)
+            ell = EllMatrix(a.indptr_np, a.csr_cols_np)
             self._ell = ell
             if has_neumann:
-                mask = (np.asarray(a.nullspace) != 0).astype(np.float64)
+                mask = (a.nullspace_np != 0).astype(np.float64)
                 ns_exact = jnp.asarray(mask / np.linalg.norm(mask))
                 ns_df = df_from_f64(ns_exact)
 

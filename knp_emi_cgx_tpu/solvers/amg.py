@@ -129,14 +129,17 @@ class AMGLevel:
 
             ellA = EllMatrix(A.indptr, A.indices)
             self.A_ell_cols = ellA.cols
-            self.A_ell_vals = ellA.ell_values(self.A_vals)
+            self.A_ell_vals = jnp.asarray(
+                ellA.ell_values(np.asarray(A.data, dtype=np.float32)))
             if P is not None:
                 ellP = EllMatrix(Pc.indptr, Pc.indices)
                 self.P_ell_cols = ellP.cols
-                self.P_ell_vals = ellP.ell_values(self.P_vals)
+                self.P_ell_vals = jnp.asarray(
+                    ellP.ell_values(np.asarray(Pc.data, dtype=np.float32)))
                 ellR = EllMatrix(Rc.indptr, Rc.indices)
                 self.R_ell_cols = ellR.cols
-                self.R_ell_vals = ellR.ell_values(self.R_vals)
+                self.R_ell_vals = jnp.asarray(
+                    ellR.ell_values(np.asarray(Rc.data, dtype=np.float32)))
 
 
 class SmoothedAggregationAMG:

@@ -154,6 +154,27 @@ def df_dot(xh, xl, yh, yl):
     return df_to_f64(sh, sl)
 
 
+def df_matvec_rows(Mh, Ml, xh, xl):
+    """[k, n] df32 matrix times [n] df32 vector -> [k] f64 (compensated).
+
+    One batched operation replacing k sequential dots — the TPU-friendly
+    shape for Gram-Schmidt coefficient computation."""
+    p, pe = two_prod(Mh, xh[None, :])
+    pe = pe + (Mh * xl[None, :] + Ml * xh[None, :])
+    sh, sl = df_sum(*fast_two_sum(p, pe), axis=1)
+    return df_to_f64(sh, sl)
+
+
+def df_vecmat(ch, cl, Mh, Ml):
+    """[k] df32 coefficients times [k, n] df32 matrix -> [n] df32.
+
+    Computes sum_i c_i M[i] with compensated products and a df tree
+    reduction over the k axis (batched axpy for Gram-Schmidt updates)."""
+    ph, pl = df_mul(jnp.broadcast_to(ch[:, None], Mh.shape),
+                    jnp.broadcast_to(cl[:, None], Mh.shape), Mh, Ml)
+    return df_sum(ph, pl, axis=0)
+
+
 def df_norm(xh, xl):
     return jnp.sqrt(df_dot(xh, xl, xh, xl))
 
@@ -188,12 +209,23 @@ class EllMatrix:
             mask[rows_j, j] = 1.0
         self.n = n
         self.width = w
+        self._gather_np = gather
+        self._mask_np = mask
         self.cols = jnp.asarray(cols)
         self.gather = jnp.asarray(gather)
         self.mask = jnp.asarray(mask)
 
     def ell_values(self, csr_vals):
-        """Rearrange CSR values into the padded ELL layout (jittable)."""
+        """Rearrange CSR values into the padded ELL layout.
+
+        numpy input stays on the host (setup path — a device gather here
+        costs one XLA compilation PER DISTINCT SHAPE, which multiplies
+        across AMG levels and blocks); jax input is jittable (per-step
+        value refresh).
+        """
+        if isinstance(csr_vals, np.ndarray):
+            v = csr_vals[self._gather_np] * self._mask_np.astype(csr_vals.dtype)
+            return v
         v = csr_vals[self.gather.reshape(-1)].reshape(self.gather.shape)
         return v * self.mask.astype(csr_vals.dtype)
 
@@ -345,19 +377,18 @@ def gmres_df32(matvec_df, b, x0h, x0l,
             wh, wl = matvec_df(Vh[j], Vl[j])
             wh, wl = proj(*apply_M_df(*proj(wh, wl)))
 
-            # modified Gram-Schmidt in df32, coefficients in f64
-            def mgs(i, acc):
-                wh, wl, hcol = acc
-                active = i <= j
-                hij = jnp.where(active,
-                                df_dot(Vh[i], Vl[i], wh, wl), 0.0)
-                ch, cl = df_from_f64(-hij)
-                wh2, wl2 = df_axpy(ch, cl, Vh[i], Vl[i], wh, wl)
-                return wh2, wl2, hcol.at[i].set(hij)
-
-            wh, wl, hcol = jax.lax.fori_loop(
-                0, restart + 1, mgs,
-                (wh, wl, jnp.zeros(restart + 1, dtype=f64)))
+            # classical Gram-Schmidt with reorthogonalisation (CGS2) in
+            # batched df32 — two [k, n] passes instead of k sequential dots
+            # (MGS-grade stability at TPU-friendly shapes); inactive basis
+            # rows are zero, so their coefficients vanish, but mask anyway
+            active = (jnp.arange(restart + 1) <= j).astype(f64)
+            hcol = jnp.zeros(restart + 1, dtype=f64)
+            for _pass in range(2):
+                c = df_matvec_rows(Vh, Vl, wh, wl) * active
+                ch, cl = df_from_f64(-c)
+                uh, ul = df_vecmat(ch, cl, Vh, Vl)
+                wh, wl = df_add(wh, wl, uh, ul)
+                hcol = hcol + c
             hj1 = jnp.sqrt(df_dot(wh, wl, wh, wl))
             hcol = hcol.at[j + 1].set(hj1)
             ih, il = df_from_f64(1.0 / jnp.maximum(hj1, 1e-300))
@@ -408,12 +439,9 @@ def gmres_df32(matvec_df, b, x0h, x0l,
         y = jax.lax.fori_loop(0, restart, back,
                               jnp.zeros(restart, dtype=f64))
 
-        def upd(i, acc):
-            xh, xl = acc
-            ah, al = df_from_f64(y[i])
-            return df_axpy(ah, al, Vh[i], Vl[i], xh, xl)
-
-        xh, xl = jax.lax.fori_loop(0, restart, upd, (xh, xl))
+        yh, yl = df_from_f64(y)          # inactive entries are exactly 0
+        uh, ul = df_vecmat(yh, yl, Vh[:restart], Vl[:restart])
+        xh, xl = df_add(xh, xl, uh, ul)
         return xh, xl, res, j
 
     def cond(carry):
