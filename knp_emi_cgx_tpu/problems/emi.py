@@ -354,10 +354,10 @@ class SolverEMI:
         ksp = sc.get("ksp_settings", {}) or {}
         self.rtol = float(ksp.get("ksp_rtol", 1e-8))
         # EMI iterative defaults (tuned on the square MMS at rtol 1e-10,
-        # mesh-robust 22/19/14 its at N=16/32/64): stronger smoothing + two
-        # V-cycles per application halves the iteration count vs the single
-        # default V-cycle (34 its) — the jump-penalty membrane term needs
-        # the extra smoothing that hypre gets from its default relaxation
+        # mesh-robust 6/7/7 its at N=16/32/64): two V-cycles per
+        # application, 3 smoothing sweeps, compartment-split aggregates and
+        # 2x2 membrane-pair block smoothing (see _build_step) — better than
+        # the reference's per-field fieldsplit (EMIx_solver.py:131-170)
         self.amg_cycles = int(ksp.get("amg_cycles", 2))
         self.smooth_iters = int(ksp.get("smooth_iters", 3))
         self.time_steps = problem.cfg.time_steps
@@ -400,9 +400,32 @@ class SolverEMI:
             # matrix is both valid and much stronger than block-diagonal
             # preconditioning (which ignores the dominant membrane coupling
             # at small dt) — an improvement over the reference's per-block
-            # preconditioner (EMIx_problem.py:240-245).
+            # preconditioner (EMIx_problem.py:240-245).  The near-kernel of
+            # the EMI operator is (#compartments+1)-dimensional (constants
+            # per biological cell + ECS constant, jump-penalised only at
+            # C_M scale), so aggregates are forbidden from spanning
+            # compartments — the tentative prolongation then reproduces all
+            # jump modes exactly.
+            topo, mesh = p.topo, p.topo.mesh
+            comp_v = np.zeros(mesh.num_points, dtype=np.int64)
+            ic = topo.intra_cells
+            comp_v[mesh.cells[ic].ravel()] = np.repeat(
+                np.asarray(mesh.cell_tags)[ic], mesh.cells.shape[1])
+            components = np.zeros(p.n_dofs, dtype=np.int64)
+            fdn = p.field_dof
+            act0 = np.nonzero(fdn[0] >= 0)[0]
+            components[fdn[0, act0]] = comp_v[act0] + 1  # 0 is the ECS label
+            # 2x2 smoothing blocks on (intra,extra) membrane dof partners —
+            # pointwise Jacobi cannot damp their difference mode when the
+            # membrane mass dominates (C_M >> dt*sigma/h)
+            mv = np.unique(np.asarray(topo.membrane_verts).ravel())
+            d0, d1 = fdn[0][mv], fdn[1][mv]
+            ok = (d0 >= 0) & (d1 >= 0)
+            block_pairs = np.stack([d0[ok], d1[ok]], axis=1)
             self._amg = SmoothedAggregationAMG(p.A_host.tocsr(), dtype=p.dtype,
-                                               smooth_iters=self.smooth_iters)
+                                               smooth_iters=self.smooth_iters,
+                                               components=components,
+                                               block_pairs=block_pairs)
             solve_arrays = {
                 "A_vals": p.A_vals, "indices": p.indices,
                 "row_ids": p.row_ids, "ns": p.nullspace,

@@ -75,14 +75,16 @@ def _aggregate(C: sp.csr_matrix) -> np.ndarray:
     return agg
 
 
-def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 20) -> float:
-    """Power-iteration estimate of lambda_max(D^-1 A)."""
-    dinv = 1.0 / A.diagonal()
+def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 20,
+                    Binv: sp.csr_matrix | None = None) -> float:
+    """Power-iteration estimate of lambda_max(B A) (B = D^-1 by default)."""
+    if Binv is None:
+        Binv = sp.diags(1.0 / A.diagonal())
     x = np.random.default_rng(0).normal(size=A.shape[0])
     x /= np.linalg.norm(x)
     lam = 1.0
     for _ in range(iters):
-        y = dinv * (A @ x)
+        y = Binv @ (A @ x)
         lam = np.linalg.norm(y)
         if lam == 0:
             return 1.0
@@ -90,25 +92,77 @@ def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 20) -> float:
     return float(lam)
 
 
+def _disjoint_pairs(pairs: np.ndarray, n: int) -> np.ndarray:
+    """Greedy maximal disjoint subset of dof pairs (each dof in <=1 block)."""
+    used = np.zeros(n, dtype=bool)
+    keep = np.zeros(len(pairs), dtype=bool)
+    for k in range(len(pairs)):
+        a, b = pairs[k]
+        if a != b and not used[a] and not used[b]:
+            keep[k] = True
+            used[a] = used[b] = True
+    return pairs[keep]
+
+
+def _block_dinv(A: sp.csr_matrix, pairs: np.ndarray | None) -> sp.csr_matrix:
+    """Block-diagonal inverse smoothing operator: exact 2x2 inverses on the
+    given disjoint dof pairs (membrane intra/extra partners, whose
+    difference mode pointwise Jacobi cannot smooth — the 2x2 blocks are
+    near-singular in that mode when the membrane mass dominates), plain
+    1/a_ii elsewhere.  Applied on device as one static CSR SpMV — batched
+    tiny inverses are exactly what the VPU wants."""
+    n = A.shape[0]
+    d = A.diagonal()
+    if pairs is None or len(pairs) == 0:
+        return sp.diags(1.0 / d).tocsr()
+    i, j = pairs[:, 0], pairs[:, 1]
+    aij = np.asarray(A[i, j]).ravel()
+    aji = np.asarray(A[j, i]).ravel()
+    det = d[i] * d[j] - aij * aji
+    ok = np.abs(det) > 1e-14 * np.abs(d[i] * d[j])
+    # fall back to pointwise on (near-)singular blocks
+    det = np.where(ok, det, 1.0)
+    bii = np.where(ok, d[j] / det, 1.0 / d[i])
+    bjj = np.where(ok, d[i] / det, 1.0 / d[j])
+    bij = np.where(ok, -aij / det, 0.0)
+    bji = np.where(ok, -aji / det, 0.0)
+    unpaired = np.ones(n, dtype=bool)
+    unpaired[i] = unpaired[j] = False
+    u = np.nonzero(unpaired)[0]
+    rows = np.concatenate([u, i, i, j, j])
+    cols = np.concatenate([u, i, j, j, i])
+    vals = np.concatenate([1.0 / d[u], bii, bij, bjj, bji])
+    B = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    B.sort_indices()
+    return B
+
+
 class AMGLevel:
     """Per-level device arrays.  All index structures are data (passed as jit
     arguments via device_state), never closure constants."""
 
-    ARRAYS = ("A_indices", "A_row_ids", "A_vals", "dinv",
+    ARRAYS = ("A_indices", "A_row_ids", "A_vals",
+              "B_indices", "B_row_ids", "B_vals",
               "P_indices", "P_row_ids", "P_vals",
               "R_indices", "R_row_ids", "R_vals",
-              "A_ell_cols", "A_ell_vals", "P_ell_cols", "P_ell_vals",
-              "R_ell_cols", "R_ell_vals")
+              "A_ell_cols", "A_ell_vals", "B_ell_cols", "B_ell_vals",
+              "P_ell_cols", "P_ell_vals", "R_ell_cols", "R_ell_vals")
 
     def __init__(self, A: sp.csr_matrix, P: sp.csr_matrix | None, lam_max: float,
-                 dtype, df: bool = False):
+                 dtype, df: bool = False, Binv: sp.csr_matrix | None = None):
         from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
 
         self.n = A.shape[0]
         self.A_indices = jnp.asarray(A.indices, dtype=jnp.int32)
         self.A_row_ids = expand_row_ids(A.indptr)
         self.A_vals = jnp.asarray(A.data, dtype=dtype)
-        self.dinv = jnp.asarray(1.0 / A.diagonal(), dtype=dtype)
+        # smoothing operator B ~ block-diag(A)^-1 (see _block_dinv); plain
+        # Jacobi when no pair blocks were requested
+        if Binv is None:
+            Binv = sp.diags(1.0 / A.diagonal()).tocsr()
+        self.B_indices = jnp.asarray(Binv.indices, dtype=jnp.int32)
+        self.B_row_ids = expand_row_ids(Binv.indptr)
+        self.B_vals = jnp.asarray(Binv.data, dtype=dtype)
         self.lam_max = lam_max
         self.has_P = P is not None
         Pc = Rc = None
@@ -131,6 +185,10 @@ class AMGLevel:
             self.A_ell_cols = ellA.cols
             self.A_ell_vals = jnp.asarray(
                 ellA.ell_values(np.asarray(A.data, dtype=np.float32)))
+            ellB = EllMatrix(Binv.indptr, Binv.indices)
+            self.B_ell_cols = ellB.cols
+            self.B_ell_vals = jnp.asarray(
+                ellB.ell_values(np.asarray(Binv.data, dtype=np.float32)))
             if P is not None:
                 ellP = EllMatrix(Pc.indptr, Pc.indices)
                 self.P_ell_cols = ellP.cols
@@ -148,32 +206,73 @@ class SmoothedAggregationAMG:
     def __init__(self, A: sp.csr_matrix, dtype=jnp.float64,
                  max_levels: int = 10, coarse_size: int = 200,
                  theta: float = 0.08, omega: float = 4.0 / 3.0,
-                 smooth_iters: int = 2, df: bool = False):
+                 smooth_iters: int = 2, df: bool = False,
+                 components: np.ndarray | None = None,
+                 block_pairs: np.ndarray | None = None):
+        """components: optional int label per dof (e.g. biological
+        compartment id).  When given, aggregates never span two components,
+        so the tentative prolongation exactly reproduces every
+        per-component-constant vector — the near-kernel of membrane-coupled
+        (EMI-type) operators, whose low-energy modes are compartment
+        constants with jumps across the membrane (the TPU-side analog of
+        feeding hypre a near-nullspace; cf. the reference's per-block
+        preconditioner `EMIx_problem.py:240-245` which sidesteps the issue
+        by never coarsening across fields)."""
         self.dtype = dtype
         self.smooth_iters = smooth_iters
         self.df = df
         self.levels: list[AMGLevel] = []
 
+        comp = None
+        if components is not None:
+            comp = np.asarray(components, dtype=np.int64)
+            if comp.shape[0] != A.shape[0]:
+                raise ValueError("components must have one label per dof")
+        pairs = None
+        if block_pairs is not None and len(block_pairs):
+            pairs = _disjoint_pairs(
+                np.asarray(block_pairs, dtype=np.int64), A.shape[0])
+
         A = A.tocsr()
         for _ in range(max_levels):
-            lam = _lam_max_jacobi(A)
+            Binv = _block_dinv(A, pairs)
+            lam = _lam_max_jacobi(A, Binv=Binv)
             if A.shape[0] <= coarse_size:
-                self.levels.append(AMGLevel(A, None, lam, dtype, df=df))
+                self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
+                                            Binv=Binv))
                 break
             C = _strength_graph(A, theta)
             agg = _aggregate(C if C.nnz else sp.csr_matrix(A.shape))
+            if comp is not None:
+                # split every aggregate at component boundaries; relabel
+                # densely.  np.unique on the (agg, comp) pairs gives each
+                # surviving (aggregate, component) cell its own coarse dof.
+                pair = agg * (comp.max() + 1) + comp
+                uniq, agg = np.unique(pair, return_inverse=True)
+                comp_next = uniq % (comp.max() + 1)
             nagg = int(agg.max()) + 1
             if nagg >= A.shape[0]:  # no coarsening possible
-                self.levels.append(AMGLevel(A, None, lam, dtype, df=df))
+                self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
+                                            Binv=Binv))
                 break
             P0 = sp.csr_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], nagg))
-            Dinv = sp.diags(1.0 / A.diagonal())
-            P = P0 - (omega / lam) * (Dinv @ (A @ P0))
-            self.levels.append(AMGLevel(A, P, lam, dtype, df=df))
+            P = P0 - (omega / lam) * (Binv @ (A @ P0))
+            self.levels.append(AMGLevel(A, P, lam, dtype, df=df, Binv=Binv))
             A = (P.T @ A @ P).tocsr()
             A.sort_indices()
+            if comp is not None:
+                comp = comp_next
+            if pairs is not None:
+                # pair blocks propagate through the hierarchy: the two dofs
+                # of a membrane pair land in different aggregates (component
+                # splitting guarantees it), and their coarse images keep the
+                # strong negative coupling that needs blockwise smoothing
+                pi, pj = agg[pairs[:, 0]], agg[pairs[:, 1]]
+                keep = pi != pj
+                cp = np.unique(np.stack([pi[keep], pj[keep]], axis=1), axis=0)
+                pairs = _disjoint_pairs(cp, nagg) if len(cp) else None
         # coarsest dense inverse (host — the matrix is tiny)
         dense = A.toarray()
         # guard singular coarse op (pure-Neumann blocks): regularise lightly
@@ -208,7 +307,8 @@ class SmoothedAggregationAMG:
             omega = weights[it % 2]
             r = b - csr_mv(level.A_vals, x, level.A_indices, level.A_row_ids,
                            level.n)
-            x = x + omega * (level.dinv * r)
+            x = x + omega * csr_mv(level.B_vals, r, level.B_indices,
+                                   level.B_row_ids, level.n)
         return x
 
     def _cycle(self, k: int, b):
@@ -244,7 +344,7 @@ class SmoothedAggregationAMG:
             omega = weights[it % 2]
             yh, yl = ell_mv_df(level.A_ell_cols, level.A_ell_vals, xh, xl)
             rh, rl = df_add(bh, bl, -yh, -yl)
-            uh, ul = df_scale_f32(rh, rl, level.dinv)
+            uh, ul = ell_mv_df(level.B_ell_cols, level.B_ell_vals, rh, rl)
             uh, ul = df_scale_f32(uh, ul, omega)
             xh, xl = df_add(xh, xl, uh, ul)
         return xh, xl

@@ -85,10 +85,11 @@ def test_emi_direct_vs_iterative():
     ei, solver = _run_mms(16, direct=False)
     for f in ("phi_i", "phi_e"):
         assert abs(ed[f] - ei[f]) / ed[f] < 1e-4
-    # whole-operator AMG with smooth_iters=3 + 2 V-cycles/apply: 19 its at
-    # 32^2, rtol 1e-10 — mesh-robust and IMPROVING under refinement
-    # (22/19/14 at N=16/32/64); the round-1 single-V-cycle default took 34
-    assert max(solver.iterations) <= 25, solver.iterations
+    # whole-operator AMG + compartment-split aggregates + 2x2 membrane-pair
+    # block smoothing: 6/7/7 its at N=16/32/64, rtol 1e-10, mesh-robust
+    # (plain-Jacobi/constant-aggregate SA took 22/19/14; round-1 took 34) —
+    # better than the reference's per-field fieldsplit (EMIx_solver.py:131-170)
+    assert max(solver.iterations) <= 10, solver.iterations
 
 
 def test_emi_hh_smoke():
