@@ -687,9 +687,11 @@ class KNPEMIAssembler:
         # with zero mask — harmless)
         rep_pad = np.zeros(halo.n_padded, dtype=np.int64)
         rep_pad[newpos] = new_of[np.asarray(self.phi_repair_slots)]
+        self.phi_repair_slots_np = rep_pad        # host copy (df32 sharded)
         self.phi_repair_slots = jnp.asarray(rep_pad, dtype=it)
         mask_pad = np.zeros(vg.shape[0])
         mask_pad[new_of] = np.asarray(self.phi_col_mask)
+        self.phi_col_mask_np = mask_pad           # host copy (df32 sharded)
         self.phi_col_mask = jnp.asarray(mask_pad, dtype=dtype)
 
         bc_flag = np.zeros(halo.n_padded, dtype=bool)

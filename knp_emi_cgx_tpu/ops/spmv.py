@@ -18,9 +18,11 @@ def expand_row_ids(indptr):
     import numpy as np
 
     indptr_np = np.asarray(indptr)
-    return jnp.asarray(
-        np.repeat(np.arange(indptr_np.shape[0] - 1), np.diff(indptr_np)),
-        dtype=jnp.int32)
+    # build in int32 on the host: converting dtype via jnp.asarray compiles
+    # one convert_element_type executable per distinct shape
+    return jnp.asarray(np.repeat(
+        np.arange(indptr_np.shape[0] - 1, dtype=np.int32),
+        np.diff(indptr_np)))
 
 
 def csr_mv(vals, x, indices, row_ids, n):

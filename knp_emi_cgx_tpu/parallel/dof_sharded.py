@@ -80,7 +80,7 @@ class ShardedChebyshevPreconditioner:
 
     def __init__(self, assembler, u0, dof_part, device_mesh: Mesh,
                  iters: int = 5, axis: str = "cells",
-                 lam_min_frac: float = 0.06):
+                 lam_min_frac: float = 0.06, df: bool = False):
         import scipy.sparse as sp
 
         from knp_emi_cgx_tpu.solvers.precond import _build_blocks
@@ -125,11 +125,49 @@ class ShardedChebyshevPreconditioner:
         lam_pad = np.ones(halo.n_padded)      # pad dofs: any positive value
         lam_pad[halo.newpos] = lam
         self._state = {
-            "pvals": halo.shard_values(jnp.asarray(Pm.data, dtype=dtype)),
-            "dinv": jnp.asarray(dinv_pad, dtype=dtype),
-            "lam": jnp.asarray(lam_pad, dtype=dtype),
+            "pvals": halo.shard_values(jnp.asarray(
+                np.asarray(Pm.data, dtype=np.dtype(dtype)))),
+            "dinv": jnp.asarray(np.asarray(dinv_pad, dtype=np.dtype(dtype))),
+            "lam": jnp.asarray(np.asarray(lam_pad, dtype=np.dtype(dtype))),
             "mv": mv_arrays,
         }
+        self.df = df
+        if df:
+            # compensated application path: same Chebyshev polynomial, df32
+            # vector arithmetic + per-device ELL tree-reduction matvecs —
+            # a FIXED linear operator to ~2^-48, as the df32 Krylov
+            # recurrence requires (an f32-noisy preconditioner stalls it)
+            self._matvec_df, mv_df_arrays = halo.make_matvec_df_fn(
+                device_mesh, repair=False)
+            self._state["mv_df"] = mv_df_arrays
+
+    def apply_df(self, rh, rl):
+        from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32,
+                                                  df_zeros_like)
+
+        st = self._state
+        f32 = jnp.float32
+        dinv = st["dinv"].astype(f32)
+        lam = st["lam"].astype(f32)
+        pvals = st["pvals"].astype(f32)
+        lmax = 1.1 * lam
+        lmin = jnp.float32(self.lam_min_frac) * lam
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        xh, xl = df_zeros_like(rh)
+        dh, dl = df_scale_f32(rh, rl, dinv / theta)
+        for _ in range(self.iters):
+            xh, xl = df_add(xh, xl, dh, dl)
+            mh, ml = self._matvec_df(st["mv_df"], pvals, xh, xl)
+            rrh, rrl = df_add(rh, rl, -mh, -ml)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            t1h, t1l = df_scale_f32(dh, dl, rho_new * rho)
+            t2h, t2l = df_scale_f32(rrh, rrl, (2.0 * rho_new / delta) * dinv)
+            dh, dl = df_add(t1h, t1l, t2h, t2l)
+            rho = rho_new
+        return xh, xl
 
     # -- device-array bundling (utils/devicestate.py pattern) --
     def device_state(self):
@@ -164,10 +202,17 @@ class ShardedChebyshevPreconditioner:
 def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               dtype=None, rtol: float | None = None,
                               restart: int = 30, cheb_iters: int = 5,
-                              config: str = "configs/tests/golden_parity.yaml"):
+                              config: str = "configs/tests/golden_parity.yaml",
+                              precision: str = "auto"):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
-    (problem, state, step_fn, device_mesh, halo)."""
+    (problem, state, step_fn, device_mesh, halo).
+
+    precision="df32": the sharded PRODUCTION-tolerance path — f32 storage
+    and assembly, compensated double-f32 Krylov (solvers/df32.py) with
+    per-device ELL tree-reduction halo matvecs, block-local compensated
+    dots, df32 Chebyshev preconditioning and the in-matvec exact-nullspace
+    repair; certifies rtol 1e-9 with pure f32 tensor ops on every chip."""
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
     from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
@@ -176,6 +221,11 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     from knp_emi_cgx_tpu.parallel.mesh_sharding import shard_assembler
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI
 
+    df32 = precision == "df32"
+    if df32:
+        dtype = jnp.float32
+        if rtol is None:
+            rtol = 1e-9
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
     if rtol is None:
@@ -212,27 +262,44 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                     n_devices, axis=axis, part=dof_part)
     pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
                                         device_mesh, iters=cheb_iters,
-                                        axis=axis)
+                                        axis=axis, df=df32)
+    problem._sharded_pc = pc
     a.apply_dof_remap(halo)
     shard_assembler(a, device_mesh)
-    matvec_A, mvA_arrays = halo.make_matvec_fn(device_mesh)
+    if df32:
+        matvec_A, mvA_arrays = halo.make_matvec_df_fn(
+            device_mesh, repair=not a.has_bcs)
+        if not a.has_bcs:
+            onehot, phimask = halo.ell_repair_onehot(
+                a.phi_repair_slots_np, a.phi_col_mask_np)
+            mvA_arrays = dict(mvA_arrays,
+                              repair_onehot=onehot, phi_mask_ell=phimask)
+    else:
+        matvec_A, mvA_arrays = halo.make_matvec_fn(device_mesh)
 
     step_fn = _build_sharded_step(problem, pc, halo, device_mesh,
                                   matvec_A, mvA_arrays,
-                                  rtol=rtol, restart=restart, axis=axis)
+                                  rtol=rtol, restart=restart, axis=axis,
+                                  df32=df32)
 
     # pad + shard the warm-start vector; replicate the rest of the state
     x_pad = np.zeros(halo.n_padded)
     x_pad[halo.newpos] = np.asarray(state.x)
     rep = NamedSharding(device_mesh, P())
     state = jax.device_put(state, rep)
-    state = state._replace(x=jax.device_put(
-        jnp.asarray(x_pad, dtype=dtype), NamedSharding(device_mesh, P(axis))))
+    xs = jnp.asarray(x_pad.astype(np.dtype(dtype)))
+    if df32:
+        xs = jnp.stack([xs, jnp.zeros_like(xs)])
+        x_sharding = NamedSharding(device_mesh, P(None, axis))
+    else:
+        x_sharding = NamedSharding(device_mesh, P(axis))
+    state = state._replace(x=jax.device_put(xs, x_sharding))
     return problem, state, step_fn, device_mesh, halo
 
 
 def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
-                        rtol: float, restart: int, axis: str):
+                        rtol: float, restart: int, axis: str,
+                        df32: bool = False):
     from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
                                                forward_euler_update)
     from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
@@ -243,6 +310,15 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
     params = problem.params
     has_neumann = not a.has_bcs
     n_dev = halo.n_devices
+
+    ns_df = None
+    if df32 and has_neumann:
+        from knp_emi_cgx_tpu.solvers.df32 import df_from_f64
+
+        # exact padded nullspace indicator (the f32-assembled operator is
+        # repaired in-matvec to annihilate exactly this vector)
+        mask = (a.nullspace_np != 0).astype(np.float64)
+        ns_df = df_from_f64(jnp.asarray(mask / np.linalg.norm(mask)))
 
     # scatter maps from the PADDED solver vector back into field arrays
     fd = a.field_dof
@@ -261,6 +337,8 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
 
     bundle = {"a": a.device_state(), "pc": pc.device_state(),
               "mv": mvA_arrays, "scat": scat}
+    if ns_df is not None:
+        bundle["ns_df"] = ns_df
 
     def step(state: KNPEMIState, bundle):
         old_a = a.install_device_state(bundle["a"])
@@ -284,20 +362,37 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
             b = jax.lax.with_sharding_constraint(b, shard_vec)
 
             mv = bundle["mv"]
-            res = gmres(lambda v: matvec_A(mv, vals_sh, v),
-                        b, state.x, M=pc,
-                        nullspace=a.nullspace if has_neumann else None,
-                        rtol=rtol, restart=restart,
-                        project_nullspace=has_neumann)
-            x = jax.lax.with_sharding_constraint(res.x, shard_vec)
+            if df32:
+                from knp_emi_cgx_tpu.solvers.df32 import gmres_df32
+
+                res = gmres_df32(
+                    lambda xh, xl: matvec_A(mv, vals_sh, xh, xl),
+                    b, state.x[0], state.x[1],
+                    M=pc.apply_df,
+                    nullspace_df=bundle.get("ns_df"),
+                    rtol=rtol, restart=restart, n_blocks=n_dev)
+                xh = jax.lax.with_sharding_constraint(res.xh, shard_vec)
+                xl = jax.lax.with_sharding_constraint(res.xl, shard_vec)
+                x = jnp.stack([xh, xl])
+                x_point = xh + xl
+                its = res.iterations
+            else:
+                res = gmres(lambda v: matvec_A(mv, vals_sh, v),
+                            b, state.x, M=pc,
+                            nullspace=a.nullspace if has_neumann else None,
+                            rtol=rtol, restart=restart,
+                            project_nullspace=has_neumann)
+                x = jax.lax.with_sharding_constraint(res.x, shard_vec)
+                x_point = x
+                its = res.iterations
 
             u = state.u
             for f in range(a.nf):
                 verts, dofs = bundle["scat"][f]
-                u = u.at[f, verts].set(x[dofs])
+                u = u.at[f, verts].set(x_point[dofs])
             phi_m = u[a.PHI_I] - u[a.PHI_E]
             return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
-                               t=t_new, x=x), res.iterations
+                               t=t_new, x=x), its
         finally:
             a.install_device_state(old_a)
             pc.install(old_pc)

@@ -162,6 +162,151 @@ class HaloSpMV:
         self.vals_gather = jnp.asarray(vals_map, dtype=jnp.int32)
         self.pad = jnp.asarray(pad_mask.astype(np.float64))
         self.send_idx = {d: jnp.asarray(v) for d, v in send_idx.items()}
+        # host copies for the lazily built per-device ELL (df32 path)
+        self._col_slot_np = col_slot
+        self._local_rows_np = local_rows
+        self._pad_mask_np = pad_mask
+        self._ell = None
+
+    # ------------------------------------------------------------------
+    # Per-device ELL layout: row-major padded storage whose width-axis
+    # reductions are compensated df_add trees (solvers/df32.py) — the
+    # sharded analog of EllMatrix.  Entries keep their CSR order within
+    # each row, so the per-row summation tree is IDENTICAL for any device
+    # count (bit-reproducible matvecs across partitions).
+    # ------------------------------------------------------------------
+    def _build_ell(self):
+        if self._ell is not None:
+            return self._ell
+        n_dev, max_nnz = self._pad_mask_np.shape
+        rows_per = self.rows_per
+        deg = np.zeros((n_dev, rows_per), dtype=np.int64)
+        for d in range(n_dev):
+            valid = self._pad_mask_np[d]
+            np.add.at(deg[d], self._local_rows_np[d][valid], 1)
+        self._deg_np = deg
+        w = max(1, int(deg.max()))
+        # WIDTH-MAJOR [n_dev, w, rows_per]: TPU pads the two minor dims to
+        # (8, 128) — a trailing small width axis would expand HBM ~8-10x
+        ell_gather = np.zeros((n_dev, w, rows_per), dtype=np.int32)
+        ell_mask = np.zeros((n_dev, w, rows_per), dtype=np.float32)
+        ell_cols = np.zeros((n_dev, w, rows_per), dtype=np.int32)
+        ellpos_of = np.full((n_dev, max_nnz), -1, dtype=np.int64)
+        for d in range(n_dev):
+            valid = np.nonzero(self._pad_mask_np[d])[0]
+            r = self._local_rows_np[d][valid]
+            order = np.argsort(r, kind="stable")   # preserves CSR order in-row
+            rs = r[order]
+            starts = np.searchsorted(rs, np.arange(rows_per))
+            j = np.arange(len(rs)) - starts[rs]
+            ell_gather[d, j, rs] = valid[order]
+            ell_mask[d, j, rs] = 1.0
+            ell_cols[d, j, rs] = self._col_slot_np[d][valid[order]]
+            ellpos_of[d, valid[order]] = j * rows_per + rs
+        self._ell = {
+            "w": w,
+            "gather": jnp.asarray(ell_gather),
+            "mask": jnp.asarray(ell_mask),
+            "cols": jnp.asarray(ell_cols),
+            "pos_of_np": ellpos_of,
+        }
+        return self._ell
+
+    def ell_repair_onehot(self, repair_slots_padded, phi_col_mask_vals):
+        """Static arrays for the in-matvec nullspace repair (the sharded
+        `repaired_ell_values`): a one-hot [n_dev, rows_per, w] marking each
+        row's repair slot, and the phi-column indicator in ELL layout."""
+        ell = self._build_ell()
+        n_dev, max_nnz = self._pad_mask_np.shape
+        w = ell["w"]
+        rs = np.asarray(repair_slots_padded).reshape(n_dev, self.rows_per)
+        k = rs - np.arange(n_dev)[:, None] * max_nnz
+        k = np.clip(k, 0, max_nnz - 1)
+        pos = ell["pos_of_np"][np.arange(n_dev)[:, None], k]
+        pos = np.clip(pos, 0, self.rows_per * w - 1)
+        onehot = np.zeros((n_dev, w * self.rows_per), dtype=np.float32)
+        # scatter ONLY for real rows: pad rows carry slot 0 from
+        # apply_dof_remap, and their clipped positions would land inside
+        # ANOTHER row's one-hot (doubling that row's repair)
+        d_idx, r_idx = np.nonzero(self._deg_np > 0)
+        onehot[d_idx, pos[d_idx, r_idx]] = 1.0
+        onehot = onehot.reshape(n_dev, w, self.rows_per)
+        mask = np.asarray(phi_col_mask_vals).reshape(n_dev, max_nnz)
+        gather = np.asarray(ell["gather"])
+        mask_ell = (np.take_along_axis(
+            mask, gather.reshape(n_dev, -1), axis=1)
+            .reshape(n_dev, w, self.rows_per).astype(np.float32)
+            * np.asarray(ell["mask"]))
+        return jnp.asarray(onehot), jnp.asarray(mask_ell)
+
+    def make_matvec_df_fn(self, device_mesh: Mesh, repair: bool = False):
+        """Compensated (double-f32) halo matvec: (arrays, vals_shards,
+        xh, xl) -> (yh, yl), everything sharded over the device mesh.
+
+        vals_shards are plain f32 assembly values in the padded layout; with
+        repair=True the arrays must carry "repair_onehot"/"phi_mask_ell"
+        (from `ell_repair_onehot`) and the matvec applies the exact
+        discrete-nullspace repair in the lo part, device-locally.
+        """
+        from knp_emi_cgx_tpu.solvers.df32 import (df_from_f32, df_mul,
+                                                  df_scale_f32, df_sum,
+                                                  fast_two_sum)
+
+        ell = self._build_ell()
+        axis = self.axis
+        rows_per = self.rows_per
+        deltas = self.deltas
+        n_dev = self.n_devices
+
+        def local_mv(vals_blk, gather_blk, mask_blk, cols_blk,
+                     rep_blk, phim_blk, xh_blk, xl_blk, *send_blks):
+            xh_own, xl_own = xh_blk[0], xl_blk[0]
+            parts_h, parts_l = [xh_own], [xl_own]
+            for delta, sidx in zip(deltas, send_blks):
+                payload = jnp.stack([xh_own[sidx[0]], xl_own[sidx[0]]])
+                perm = [(i, (i - delta) % n_dev) for i in range(n_dev)]
+                received = jax.lax.ppermute(payload, axis, perm)
+                parts_h.append(received[0])
+                parts_l.append(received[1])
+            xh_ext = jnp.concatenate(parts_h)
+            xl_ext = jnp.concatenate(parts_l)
+
+            ell_h = vals_blk[0][gather_blk[0]] * mask_blk[0]   # [w, rows_per]
+            gxh = xh_ext[cols_blk[0]]
+            gxl = xl_ext[cols_blk[0]]
+            if repair:
+                sh, sl = df_sum(*df_from_f32(ell_h * phim_blk[0]), axis=0)
+                rowsum = sh + sl
+                ell_l = -rowsum[None, :] * rep_blk[0]
+                ph, pl = df_mul(ell_h, ell_l, gxh, gxl)
+            else:
+                ph, pl = df_scale_f32(gxh, gxl, ell_h)
+            yh, yl = df_sum(ph, pl, axis=0)
+            return yh[None], yl[None]
+
+        in_specs = [P(axis, None)] + [P(axis, None, None)] * 3 \
+            + [P(axis, None, None), P(axis, None, None)] \
+            + [P(axis, None)] * 2 + [P(axis, None)] * len(deltas)
+        mv = jax.shard_map(local_mv, mesh=device_mesh,
+                           in_specs=tuple(in_specs),
+                           out_specs=(P(axis, None), P(axis, None)))
+
+        dummy = jnp.zeros((n_dev, 1, 1), dtype=jnp.float32)
+        arrays = {"gather": ell["gather"], "mask": ell["mask"],
+                  "cols": ell["cols"],
+                  "repair_onehot": dummy, "phi_mask_ell": dummy,
+                  "send": tuple(self.send_idx[d] for d in deltas)}
+
+        def matvec(arrays, vals_shards, xh, xl):
+            yh, yl = mv(vals_shards,
+                        arrays["gather"], arrays["mask"], arrays["cols"],
+                        arrays["repair_onehot"], arrays["phi_mask_ell"],
+                        xh.reshape(n_dev, rows_per),
+                        xl.reshape(n_dev, rows_per),
+                        *arrays["send"])
+            return yh.reshape(-1), yl.reshape(-1)
+
+        return matvec, arrays
 
     # ------------------------------------------------------------------
     def shard_values(self, vals):

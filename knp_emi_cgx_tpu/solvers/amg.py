@@ -27,6 +27,16 @@ import scipy.sparse as sp
 
 
 
+def _up(x, dtype):
+    """Host-convert then device_put — a jnp.asarray dtype conversion from
+    numpy compiles one convert_element_type executable PER SHAPE, which at
+    tissue scale (44 AMG levels x 8 blocks x several arrays) cost ~2 min of
+    setup; numpy conversion + device_put costs none."""
+    import numpy as _np
+    import jax.numpy as _jnp
+    return _jnp.asarray(_np.asarray(x, dtype=_np.dtype(dtype)))
+
+
 def _strength_graph(A: sp.csr_matrix, theta: float = 0.08) -> sp.csr_matrix:
     """Symmetric strength-of-connection: keep |a_ij| >= theta*sqrt(a_ii a_jj)."""
     d = np.sqrt(np.abs(A.diagonal()))
@@ -153,16 +163,16 @@ class AMGLevel:
         from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
 
         self.n = A.shape[0]
-        self.A_indices = jnp.asarray(A.indices, dtype=jnp.int32)
+        self.A_indices = _up(A.indices, jnp.int32)
         self.A_row_ids = expand_row_ids(A.indptr)
-        self.A_vals = jnp.asarray(A.data, dtype=dtype)
+        self.A_vals = _up(A.data, dtype)
         # smoothing operator B ~ block-diag(A)^-1 (see _block_dinv); plain
         # Jacobi when no pair blocks were requested
         if Binv is None:
             Binv = sp.diags(1.0 / A.diagonal()).tocsr()
-        self.B_indices = jnp.asarray(Binv.indices, dtype=jnp.int32)
+        self.B_indices = _up(Binv.indices, jnp.int32)
         self.B_row_ids = expand_row_ids(Binv.indptr)
-        self.B_vals = jnp.asarray(Binv.data, dtype=dtype)
+        self.B_vals = _up(Binv.data, dtype)
         self.lam_max = lam_max
         self.has_P = P is not None
         Pc = Rc = None
@@ -170,12 +180,12 @@ class AMGLevel:
             Pc = P.tocsr()
             Rc = P.T.tocsr()
             self.nc = Pc.shape[1]
-            self.P_indices = jnp.asarray(Pc.indices, dtype=jnp.int32)
+            self.P_indices = _up(Pc.indices, jnp.int32)
             self.P_row_ids = expand_row_ids(Pc.indptr)
-            self.P_vals = jnp.asarray(Pc.data, dtype=dtype)
-            self.R_indices = jnp.asarray(Rc.indices, dtype=jnp.int32)
+            self.P_vals = _up(Pc.data, dtype)
+            self.R_indices = _up(Rc.indices, jnp.int32)
             self.R_row_ids = expand_row_ids(Rc.indptr)
-            self.R_vals = jnp.asarray(Rc.data, dtype=dtype)
+            self.R_vals = _up(Rc.data, dtype)
         if df:
             # compensated (double-f32) application path: ELL layouts whose
             # row reductions are df_add trees (solvers/df32.py)
@@ -278,7 +288,7 @@ class SmoothedAggregationAMG:
         # guard singular coarse op (pure-Neumann blocks): regularise lightly
         scale = np.abs(dense).max() or 1.0
         dense = dense + 1e-12 * scale * np.eye(dense.shape[0])
-        self.coarse_inv = jnp.asarray(np.linalg.inv(dense), dtype=dtype)
+        self.coarse_inv = _up(np.linalg.inv(dense), dtype)
 
     # ------------------------------------------------------------------
     def device_state(self):

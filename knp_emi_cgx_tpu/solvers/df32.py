@@ -180,15 +180,56 @@ def df_norm(xh, xl):
 
 
 # ----------------------------------------------------------------------
+# Blocked (sharding-friendly) reductions.  A flat df_sum tree halves the
+# vector axis step by step — on a dof-sharded vector every halving is a
+# cross-device shuffle.  The blocked variants reduce WITHIN each device
+# block first (local tree, zero communication) and combine the tiny
+# [n_blocks] remainder at the end (one small collective under GSPMD).
+# Compensation is order-insensitive: any summation tree carries ~2^-48.
+# ----------------------------------------------------------------------
+
+def df_dot_blocked(xh, xl, yh, yl, n_blocks):
+    """Compensated inner product, reduced block-locally first -> f64."""
+    p, pe = two_prod(xh, yh)
+    pe = pe + (xh * yl + xl * yh)
+    h, l = fast_two_sum(p, pe)
+    h = h.reshape(n_blocks, -1)
+    l = l.reshape(n_blocks, -1)
+    sh, sl = df_sum(h, l, axis=1)           # local trees
+    sh, sl = df_sum(sh, sl, axis=0)         # [n_blocks] remainder
+    return df_to_f64(sh, sl)
+
+
+def df_matvec_rows_blocked(Mh, Ml, xh, xl, n_blocks):
+    """[k, n] df32 matrix times [n] df32 vector -> [k] f64, block-local."""
+    p, pe = two_prod(Mh, xh[None, :])
+    pe = pe + (Mh * xl[None, :] + Ml * xh[None, :])
+    h, l = fast_two_sum(p, pe)
+    k = Mh.shape[0]
+    h = h.reshape(k, n_blocks, -1)
+    l = l.reshape(k, n_blocks, -1)
+    sh, sl = df_sum(h, l, axis=2)           # local trees
+    sh, sl = df_sum(sh, sl, axis=1)         # [k, n_blocks] remainder
+    return df_to_f64(sh, sl)
+
+
+# ----------------------------------------------------------------------
 # Compensated ELL SpMV
 # ----------------------------------------------------------------------
 
 class EllMatrix:
-    """ELL (padded row-major) storage of a CSR pattern, built once on host.
+    """ELL (padded, WIDTH-MAJOR [w, n]) storage of a CSR pattern, built once
+    on host.
 
     Row sums reduce along the width axis with df_add trees — unlike
     segment_sum, every partial sum is compensated, so the matvec result
     carries ~2^-48 relative accuracy.
+
+    Layout note: the width axis is the LEADING axis.  TPU tiles the two
+    minor dimensions as (8, 128); an [n, w] layout with w ~ 15-60 pads the
+    last axis to 128 — an 8-10x HBM expansion that OOMs tissue-scale
+    problems (observed: 20.3 GB for a 1.35M-dof step on a 15.75 GB v5e).
+    [w, n] padding hits the huge axis instead (negligible).
     """
 
     def __init__(self, indptr, indices, n_cols=None):
@@ -197,22 +238,23 @@ class EllMatrix:
         n = indptr.shape[0] - 1
         deg = np.diff(indptr)
         w = int(deg.max()) if n else 0
-        cols = np.zeros((n, w), dtype=np.int32)
-        gather = np.zeros((n, w), dtype=np.int64)   # -> position in CSR vals
-        mask = np.zeros((n, w), dtype=np.float32)
+        cols = np.zeros((w, n), dtype=np.int32)
+        gather = np.zeros((w, n), dtype=np.int64)   # -> position in CSR vals
+        mask = np.zeros((w, n), dtype=np.float32)
         for j in range(w):
             has = deg > j
             rows_j = np.nonzero(has)[0]
             pos = indptr[rows_j] + j
-            cols[rows_j, j] = indices[pos]
-            gather[rows_j, j] = pos
-            mask[rows_j, j] = 1.0
+            cols[j, rows_j] = indices[pos]
+            gather[j, rows_j] = pos
+            mask[j, rows_j] = 1.0
         self.n = n
         self.width = w
         self._gather_np = gather
         self._mask_np = mask
         self.cols = jnp.asarray(cols)
-        self.gather = jnp.asarray(gather)
+        # int32 on device (int64 gathers are emulated on TPU); nnz < 2^31
+        self.gather = jnp.asarray(gather.astype(np.int32))
         self.mask = jnp.asarray(mask)
 
     def ell_values(self, csr_vals):
@@ -233,8 +275,8 @@ class EllMatrix:
         """y = A x for df32 x, f32 A values: compensated to ~2^-48."""
         gxh = xh[self.cols]
         gxl = xl[self.cols]
-        ph, pl = df_scale_f32(gxh, gxl, ell_vals)      # [n, w] df products
-        yh, yl = df_sum(ph, pl, axis=1)
+        ph, pl = df_scale_f32(gxh, gxl, ell_vals)      # [w, n] df products
+        yh, yl = df_sum(ph, pl, axis=0)
         return yh, yl
 
     def matvec_df2(self, ell_h, ell_l, xh, xl):
@@ -242,7 +284,7 @@ class EllMatrix:
         gxh = xh[self.cols]
         gxl = xl[self.cols]
         ph, pl = df_mul(ell_h, ell_l, gxh, gxl)
-        return df_sum(ph, pl, axis=1)
+        return df_sum(ph, pl, axis=0)
 
     # -- device-array bundling (utils/devicestate.py pattern) --
     DEVICE_ATTRS = ("cols", "gather", "mask")
@@ -258,9 +300,9 @@ class EllMatrix:
 
 
 def ell_mv_df(cols, vals, xh, xl):
-    """y = A x for df32 x given ELL (cols [n, w], masked f32 vals [n, w])."""
+    """y = A x for df32 x given ELL (cols [w, n], masked f32 vals [w, n])."""
     ph, pl = df_scale_f32(xh[cols], xl[cols], vals)
-    return df_sum(ph, pl, axis=1)
+    return df_sum(ph, pl, axis=0)
 
 
 def dense_mv_df(mat, xh, xl):
@@ -280,7 +322,7 @@ def repaired_ell_values(ell: EllMatrix, csr_vals, phi_col_mask,
     """
     ell_h = ell.ell_values(csr_vals)
     mask_ell = ell.ell_values(phi_col_mask.astype(csr_vals.dtype))
-    sh, sl = df_sum(*df_from_f32(ell_h * mask_ell), axis=1)
+    sh, sl = df_sum(*df_from_f32(ell_h * mask_ell), axis=0)
     rowsum = sh + sl                                   # exact sum, 1 rounding
     lo_csr = jnp.zeros_like(csr_vals).at[repair_slots].add(-rowsum)
     return ell_h, ell.ell_values(lo_csr)
@@ -298,20 +340,13 @@ class DF32GMRESResult:
         self.converged = converged
 
 
-def _df_proj(ns_h, ns_l, vh, vl):
-    """v - (ns . v) ns for a df32 unit vector ns."""
-    d = df_dot(ns_h, ns_l, vh, vl)          # f64 scalar
-    dh, dl = df_from_f64(-d)
-    ph, pl = df_axpy(dh, dl, ns_h, ns_l, vh, vl)
-    return ph, pl
-
-
 def gmres_df32(matvec_df, b, x0h, x0l,
                M=None,
                nullspace_df=None,
                rtol: float = 1e-9,
                restart: int = 30,
-               max_outer: int = 50):
+               max_outer: int = 50,
+               n_blocks: int | None = None):
     """Restarted left-preconditioned GMRES with df32 vectors and f64 scalar
     bookkeeping — certifies production tolerances (rtol 1e-9) with pure f32
     tensor ops on TPU.
@@ -331,22 +366,38 @@ def gmres_df32(matvec_df, b, x0h, x0l,
     true f64 (scalar-sized — TPU f64 emulation is only problematic for
     LARGE tensors).  The triangular solve is a manual masked back-
     substitution (jnp.linalg f64 factorizations are unsupported on TPU).
+
+    n_blocks: reduce dots/norms block-locally first (set to the device
+    count when the vectors are dof-sharded — flat df_sum trees would
+    shuffle across devices at every halving step).
     """
     if M is None:
         M = lambda rh, rl: (rh, rl)
     f64 = jnp.float64
     n = b.shape[0]
 
+    if n_blocks is None:
+        dot = df_dot
+        mv_rows = df_matvec_rows
+    else:
+        dot = lambda ah, al, bh_, bl_: df_dot_blocked(ah, al, bh_, bl_,
+                                                      n_blocks)
+        mv_rows = lambda Mh, Ml, wh, wl: df_matvec_rows_blocked(
+            Mh, Ml, wh, wl, n_blocks)
+
     def proj(vh, vl):
         if nullspace_df is None:
             return vh, vl
-        return _df_proj(nullspace_df[0], nullspace_df[1], vh, vl)
+        ns_h, ns_l = nullspace_df
+        d = dot(ns_h, ns_l, vh, vl)          # f64 scalar
+        dh, dl = df_from_f64(-d)
+        return df_axpy(dh, dl, ns_h, ns_l, vh, vl)
 
     apply_M_df = M
 
     bh, bl = proj(*df_from_f32(b))
     Mbh, Mbl = proj(*apply_M_df(bh, bl))
-    norm_ref = jnp.sqrt(df_dot(Mbh, Mbl, Mbh, Mbl))
+    norm_ref = jnp.sqrt(dot(Mbh, Mbl, Mbh, Mbl))
     tol = rtol * jnp.maximum(norm_ref, 1e-300)
 
     def residual_df(xh, xl):
@@ -356,7 +407,7 @@ def gmres_df32(matvec_df, b, x0h, x0l,
 
     def arnoldi_cycle(xh, xl):
         rh, rl = residual_df(xh, xl)
-        beta = jnp.sqrt(df_dot(rh, rl, rh, rl))          # f64
+        beta = jnp.sqrt(dot(rh, rl, rh, rl))          # f64
 
         Vh = jnp.zeros((restart + 1, n), dtype=jnp.float32)
         Vl = jnp.zeros_like(Vh)
@@ -384,12 +435,12 @@ def gmres_df32(matvec_df, b, x0h, x0l,
             active = (jnp.arange(restart + 1) <= j).astype(f64)
             hcol = jnp.zeros(restart + 1, dtype=f64)
             for _pass in range(2):
-                c = df_matvec_rows(Vh, Vl, wh, wl) * active
+                c = mv_rows(Vh, Vl, wh, wl) * active
                 ch, cl = df_from_f64(-c)
                 uh, ul = df_vecmat(ch, cl, Vh, Vl)
                 wh, wl = df_add(wh, wl, uh, ul)
                 hcol = hcol + c
-            hj1 = jnp.sqrt(df_dot(wh, wl, wh, wl))
+            hj1 = jnp.sqrt(dot(wh, wl, wh, wl))
             hcol = hcol.at[j + 1].set(hj1)
             ih, il = df_from_f64(1.0 / jnp.maximum(hj1, 1e-300))
             nh, nl = df_mul(wh, wl, jnp.broadcast_to(ih, wh.shape),
@@ -450,11 +501,18 @@ def gmres_df32(matvec_df, b, x0h, x0l,
 
     def step(carry):
         xh, xl, _res, it, outer = carry
-        xh, xl, res, cnt = arnoldi_cycle(xh, xl)
+        xh, xl, _est, cnt = arnoldi_cycle(xh, xl)
+        # certify on the TRUE preconditioned residual, not the Givens
+        # recurrence estimate — the estimate drifts a few x over a cycle
+        # (observed 4.7e-9 true at a 1e-9 estimate), and the parity tests
+        # assert against real f64 residuals.  One extra matvec+M per
+        # restart cycle (~1/restart overhead).
+        rh, rl = residual_df(xh, xl)
+        res = jnp.sqrt(dot(rh, rl, rh, rl))
         return xh, xl, res, it + cnt, outer + 1
 
     r0h, r0l = residual_df(x0h, x0l)
-    r0 = jnp.sqrt(df_dot(r0h, r0l, r0h, r0l))
+    r0 = jnp.sqrt(dot(r0h, r0l, r0h, r0l))
     xh, xl, res, it, outer = jax.lax.while_loop(
         cond, step, (x0h, x0l, r0, jnp.array(0), jnp.array(0)))
     return DF32GMRESResult(xh=xh, xl=xl, iterations=it, residual=res,

@@ -117,9 +117,9 @@ class BlockDiagonalPreconditioner:
             # O(nnz) instead of O(n^2) through the host->TPU tunnel
             from knp_emi_cgx_tpu.ops.spmv import csr_to_dense
 
-            dense = csr_to_dense(jnp.asarray(b.indptr, dtype=jnp.int32),
-                                 jnp.asarray(b.indices, dtype=jnp.int32),
-                                 jnp.asarray(b.data, dtype=dtype))
+            dense = csr_to_dense(jnp.asarray(np.asarray(b.indptr, dtype=np.int32)),
+                                 jnp.asarray(np.asarray(b.indices, dtype=np.int32)),
+                                 jnp.asarray(np.asarray(b.data, dtype=np.dtype(dtype))))
             return ("dense", jnp.linalg.inv(dense))
 
         def cheb_of(i, b, iters):
@@ -130,10 +130,10 @@ class BlockDiagonalPreconditioner:
             # Gershgorin bound on D^-1 B (SPD): lam_max <= max row sum of |.|
             lam_max = float(np.abs(dinv_b).sum(axis=1).max())
             return ("cheb", {
-                "indices": jnp.asarray(b.indices, dtype=jnp.int32),
+                "indices": jnp.asarray(np.asarray(b.indices, dtype=np.int32)),
                 "row_ids": expand_row_ids(b.indptr),
-                "vals": jnp.asarray(b.data, dtype=dtype),
-                "dinv": jnp.asarray(1.0 / d, dtype=dtype),
+                "vals": jnp.asarray(np.asarray(b.data, dtype=np.dtype(dtype))),
+                "dinv": jnp.asarray(np.asarray(1.0 / d, dtype=np.dtype(dtype))),
                 "lam_max": lam_max, "iters": iters, "n": b.shape[0],
             })
 

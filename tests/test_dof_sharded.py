@@ -127,3 +127,68 @@ def test_vertex_partition_covers_all_dofs():
     # reasonable balance from the BFS partitioner
     counts = np.bincount(vpart, minlength=8)
     assert counts.min() > 0
+
+
+def test_dof_sharded_df32_production_tolerance():
+    """The dof-sharded PRODUCTION path: compensated double-f32 Krylov with
+    per-device ELL halo matvecs, block-local compensated dots, df32 sharded
+    Chebyshev preconditioning and in-matvec nullspace repair, certifying
+    rtol 1e-9 with pure f32 tensor ops (STATUS r2 gap #2; reference
+    production tolerance KNPEMIx_solver.py:27).
+
+    Kept small (4 devices, 8x8 mesh, restart 16): each gmres_df32
+    instantiation is a multi-minute XLA compile on a 1-core host."""
+    from knp_emi_cgx_tpu.solvers.df32 import (df_from_f64, df_to_f64,
+                                              gmres_df32)
+
+    cpu = jax.devices("cpu")
+    RTOL = 1e-9
+    NDEV = 4
+    p_sh, s0, step_sh, dmesh, halo = build_dof_sharded_problem(
+        NDEV, devices=cpu, n_mesh=8, precision="df32", rtol=RTOL,
+        restart=16)
+    assert s0.x.shape[0] == 2 and s0.x.dtype == jnp.float32
+
+    # solve one system with the exact sharded production pieces (eager
+    # assembly, so the certified operator is bit-identical to the solved
+    # one — a jitted re-assembly differs by ~1 ulp of f32, which shifts
+    # the measured residual a few x at the 1e-9 level)
+    a = p_sh.assembler
+    pc = p_sh._sharded_pc
+    gates = {"n": s0.n, "m": s0.m, "h": s0.h}
+    vals, b = a.assemble(s0.u, s0.phi_m, gates, s0.t + p_sh.params.dt)
+    matvec_df, arrays = halo.make_matvec_df_fn(dmesh, repair=True)
+    onehot, phimask = halo.ell_repair_onehot(a.phi_repair_slots_np,
+                                             a.phi_col_mask_np)
+    arrays = dict(arrays, repair_onehot=onehot, phi_mask_ell=phimask)
+    vals_sh = vals.reshape(NDEV, -1)
+    mask = (a.nullspace_np != 0).astype(np.float64)
+    nsv = mask / np.linalg.norm(mask)
+    ns_df = df_from_f64(jnp.asarray(nsv))
+    res = gmres_df32(lambda xh, xl: matvec_df(arrays, vals_sh, xh, xl),
+                     b, s0.x[0], s0.x[1], M=pc.apply_df, nullspace_df=ns_df,
+                     rtol=RTOL, restart=16, n_blocks=NDEV)
+    assert bool(res.converged)
+    assert int(res.iterations) > 1
+
+    # certify the REAL f64 preconditioned residual (the reference KSP
+    # criterion): ||proj(M(b - A x))|| / ||proj(M b)||.  r is split into a
+    # df pair (keeps ~48 bits): after convergence M r is heavily cancelled
+    # — an f32 CAST of r would inject noise larger than ||M r|| itself
+    def proj(v):
+        return v - nsv * (nsv @ v)
+
+    yh, yl = matvec_df(arrays, vals_sh, res.xh, res.xl)
+    r = proj(np.asarray(b, np.float64) - np.asarray(df_to_f64(yh, yl)))
+    Mr = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(r))))))
+    bp = proj(np.asarray(b, np.float64))
+    Mb = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(bp))))))
+    rel = np.linalg.norm(Mr) / np.linalg.norm(Mb)
+    assert rel <= 2 * RTOL, f"real preconditioned residual {rel:.3e}"
+
+    # the full jitted step runs and produces finite fields
+    s1, its = step_sh(s0)
+    assert int(its) > 1
+    assert np.all(np.isfinite(np.asarray(s1.u)))
