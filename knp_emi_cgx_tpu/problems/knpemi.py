@@ -388,6 +388,26 @@ class SolverKNPEMI:
         self.precision = str(ksp.get(
             "precision", "f64" if self.mixed_precision else "f32"))
         self.mixed_precision = self.precision == "f64"
+        # split_step: run assembly / Krylov solve / field scatter as THREE
+        # jitted programs instead of one.  The axon TPU runtime faults when
+        # the fused single-program step grows past ~5e5 dofs (assembly and
+        # the df32 GMRES each run fine alone at 48^3 tissue scale, their
+        # composition into one program dies at launch); three dispatches
+        # cost ~0.5 ms/step and lift the size ceiling.
+        self.split_step = bool(ksp.get("split_step", False))
+        # launch_outer: additionally bound EACH solver launch to this many
+        # restart cycles, re-invoking from the host until the iteration
+        # budget is spent (restarted GMRES is memoryless across cycles, so
+        # chunked launches are mathematically identical to one long run).
+        # The axon runtime kills long-running single launches at tissue
+        # scale (a cold rtol-1e-9 solve is hundreds of Arnoldi iterations
+        # in one while_loop launch); a converged chunk costs one residual
+        # check.  launch_count / launch_count_cold: launches per warm step
+        # and for the first (cold-start) step.
+        lo = ksp.get("launch_outer")
+        self.launch_outer = int(lo) if lo is not None else None
+        self.launch_count = int(ksp.get("launch_count", 6))
+        self.launch_count_cold = int(ksp.get("launch_count_cold", 30))
         self.time_steps = problem.cfg.time_steps
         self.iterations: list[int] = []
         self.assembly_time: list[float] = []
@@ -458,6 +478,9 @@ class SolverKNPEMI:
         if pc is not None:
             bundle["pc"] = pc.device_state()
         self._bundle = bundle
+
+        if df32_mode and not direct and self.split_step:
+            return self._build_step_split_df32(ell)
 
         def step(state: KNPEMIState, bundle):
             old_a = a.install_device_state(bundle["a"])
@@ -561,6 +584,121 @@ class SolverKNPEMI:
             return jitted(state, self._bundle)
 
         bound_step.jitted = jitted
+        return bound_step
+
+    # ------------------------------------------------------------------
+    def _build_step_split_df32(self, ell):
+        """Three-program df32 step (see `split_step` in __init__): gating +
+        assembly + ELL value refresh | compensated GMRES | field scatter.
+        Same math as the fused step; only the jit boundaries differ."""
+        from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
+                                                   forward_euler_update)
+        from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
+        from knp_emi_cgx_tpu.solvers.df32 import (gmres_df32,
+                                                  repaired_ell_values)
+
+        p = self.problem
+        a = p.assembler
+        params = p.params
+        pc = self._pc
+        has_neumann = not a.has_bcs
+        gating = p.gating_variables
+        hh = next((m for m in p.ionic_models if isinstance(m, HodgkinHuxley)),
+                  None)
+        rtol, restart = self.rtol, self.restart
+
+        def stage_assemble(state, bundle):
+            old_a = a.install_device_state(bundle["a"])
+            old_ell = ell.install(bundle["ell"])
+            try:
+                t_new = state.t + params.dt
+                n_, m_, h_ = state.n, state.m, state.h
+                if gating:
+                    dt_ode = params.dt / hh.time_steps_ode
+                    upd = (rush_larsen_update if hh.use_rush_larsen
+                           else forward_euler_update)
+                    n_, m_, h_ = upd(n_, m_, h_, state.phi_m,
+                                     params.phi_rest, dt_ode,
+                                     hh.time_steps_ode)
+                gates = {"n": n_, "m": m_, "h": h_}
+                bc_values = (a.mms_bc_values(t_new)
+                             if (a.has_bcs and a.mms is not None) else None)
+                vals, b = a.assemble(state.u, state.phi_m, gates, t_new,
+                                     bc_values=bc_values)
+                if has_neumann:
+                    ell_h, ell_l = repaired_ell_values(
+                        ell, vals, a.phi_col_mask, a.phi_repair_slots)
+                else:
+                    ell_h = ell.ell_values(vals)
+                    ell_l = jnp.zeros((0,), dtype=ell_h.dtype)
+                return n_, m_, h_, t_new, ell_h, ell_l, b
+            finally:
+                a.install_device_state(old_a)
+                ell.install(old_ell)
+
+        launch_outer = self.launch_outer
+
+        def stage_solve(bundle, ell_h, ell_l, b, x):
+            old_ell = ell.install(bundle["ell"])
+            old_pc = pc.install(bundle["pc"]) if pc is not None else None
+            try:
+                if has_neumann:
+                    def mv_df(xh, xl):
+                        return ell.matvec_df2(ell_h, ell_l, xh, xl)
+                else:
+                    def mv_df(xh, xl):
+                        return ell.matvec_df(ell_h, xh, xl)
+                kwargs = {}
+                if launch_outer is not None:
+                    kwargs["max_outer"] = launch_outer
+                res = gmres_df32(
+                    mv_df, b, x[0], x[1],
+                    M=pc.apply_df if pc is not None else None,
+                    nullspace_df=bundle.get("ns_df"),
+                    rtol=rtol, restart=restart, **kwargs)
+                return jnp.stack([res.xh, res.xl]), res.iterations
+            finally:
+                ell.install(old_ell)
+                if pc is not None:
+                    pc.install(old_pc)
+
+        def stage_scatter(state, bundle, n_, m_, h_, t_new, x):
+            u = state.u
+            x_point = x[0] + x[1]
+            for f in range(a.nf):
+                verts, dofs = bundle["scat"][f]
+                u = u.at[f, verts].set(x_point[dofs].astype(u.dtype))
+            phi_m = u[a.PHI_I] - u[a.PHI_E]
+            return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
+                               t=t_new, x=x)
+
+        jA = jax.jit(stage_assemble)
+        jS = jax.jit(stage_solve)
+        jC = jax.jit(stage_scatter)
+        launch_count = self.launch_count
+        launch_count_cold = self.launch_count_cold
+
+        def bound_step(state):
+            n_, m_, h_, t_new, ell_h, ell_l, b = jA(state, self._bundle)
+            if launch_outer is None:
+                x, its = jS(self._bundle, ell_h, ell_l, b, state.x)
+            else:
+                # host-chunked launches (see launch_outer in __init__); a
+                # chunk that enters already converged exits after one
+                # residual check, so the fixed launch count needs no
+                # device->host readback to terminate early
+                L = (launch_count_cold if not bound_step.warm
+                     else launch_count)
+                x = state.x
+                its = None
+                for _ in range(L):
+                    x, its_i = jS(self._bundle, ell_h, ell_l, b, x)
+                    its = its_i if its is None else its + its_i
+                bound_step.warm = True
+            return jC(state, self._bundle, n_, m_, h_, t_new, x), its
+
+        bound_step.warm = False
+        bound_step.jitted = None
         return bound_step
 
     # ------------------------------------------------------------------

@@ -232,6 +232,12 @@ class EllMatrix:
     [w, n] padding hits the huge axis instead (negligible).
     """
 
+    # Max elements a single device gather/scatter kernel may touch: the
+    # axon runtime faults on very large kernels (a 97M-element ELL gather
+    # at 64^3 tissue scale dies; 40M at 48^3 works).  Width chunks keep
+    # every kernel under this; chunked df accumulation stays ~2^-48.
+    CHUNK_ELEMS = 24_000_000
+
     def __init__(self, indptr, indices, n_cols=None):
         indptr = np.asarray(indptr)
         indices = np.asarray(indices)

@@ -213,3 +213,27 @@ def test_selective_f64_matches_f64_dense_solve():
     # the preconditioned-norm criterion leaves a true-residual (and hence
     # solution) gap of ~kappa x rtol — same semantics as the reference KSP
     assert err < 5e-5, f"solution error {err:.3e}"
+
+
+def test_df32_split_step_matches_fused():
+    """The three-program split step (split_step + launch_outer chunked
+    launches — the axon-runtime-safe production configuration, see
+    SolverKNPEMI.__init__) is bit-identical to the fused single-jit df32
+    step: same assembly, same Krylov math, only jit boundaries differ."""
+    def run(ksp):
+        problem, solver = _build(n=12, ksp=ksp)
+        state = problem.initial_state()
+        state = state._replace(
+            x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
+        step = solver._build_step(state)
+        for _ in range(2):
+            state, its = step(state)
+        return np.asarray(state.u, np.float64), int(its)
+
+    base = {"ksp_rtol": RTOL, "pc_mode": "amg", "precision": "df32"}
+    u_fused, its_f = run(base)
+    u_split, its_s = run({**base, "split_step": True,
+                          "launch_outer": 2, "launch_count": 20,
+                          "launch_count_cold": 30})
+    assert its_s == its_f
+    np.testing.assert_array_equal(u_split, u_fused)
