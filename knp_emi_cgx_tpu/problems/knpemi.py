@@ -404,6 +404,10 @@ class SolverKNPEMI:
         # in one while_loop launch); a converged chunk costs one residual
         # check.  launch_count / launch_count_cold: launches per warm step
         # and for the first (cold-start) step.
+        # setup_cache: disk-cache AMG hierarchies keyed by matrix content
+        # (utils/setupcache.py) — repeated runs on the same mesh replay the
+        # preconditioner build as device uploads
+        self.setup_cache = bool(ksp.get("setup_cache", False))
         lo = ksp.get("launch_outer")
         self.launch_outer = int(lo) if lo is not None else None
         self.launch_count = int(ksp.get("launch_count", 6))
@@ -435,7 +439,7 @@ class SolverKNPEMI:
             pc_dtype = jnp.float64 if self.mixed_precision else None
             self._pc = BlockDiagonalPreconditioner(
                 a, u0, mode=self.pc_mode, dtype=pc_dtype,
-                df=self.precision == "df32")
+                df=self.precision == "df32", cache=self.setup_cache)
 
         # gather maps for scattering x back into field arrays
         fd = a.field_dof

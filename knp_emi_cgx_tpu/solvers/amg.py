@@ -218,7 +218,8 @@ class SmoothedAggregationAMG:
                  theta: float = 0.08, omega: float = 4.0 / 3.0,
                  smooth_iters: int = 2, df: bool = False,
                  components: np.ndarray | None = None,
-                 block_pairs: np.ndarray | None = None):
+                 block_pairs: np.ndarray | None = None,
+                 cache: bool = False):
         """components: optional int label per dof (e.g. biological
         compartment id).  When given, aggregates never span two components,
         so the tentative prolongation exactly reproduces every
@@ -233,6 +234,34 @@ class SmoothedAggregationAMG:
         self.df = df
         self.levels: list[AMGLevel] = []
 
+        A = A.tocsr()
+        key = None
+        if cache:
+            # disk-cached hierarchy (utils/setupcache.py): the build is a
+            # pure function of (A, setup params); a hit replays as device
+            # uploads only
+            from knp_emi_cgx_tpu.utils.setupcache import (content_key,
+                                                          load_amg_hierarchy,
+                                                          save_amg_hierarchy)
+
+            key_arrays = [A.indptr, A.indices, A.data]
+            extra = (f"ml{max_levels}_cs{coarse_size}_th{theta}_om{omega}")
+            if components is not None:
+                key_arrays.append(np.asarray(components))
+                extra += "_comp"
+            if block_pairs is not None and len(block_pairs):
+                key_arrays.append(np.asarray(block_pairs))
+                extra += "_bp"
+            key = content_key(*key_arrays, extra=extra)
+            hit = load_amg_hierarchy(key)
+            if hit is not None:
+                host_levels, coarse_inv = hit
+                for (Al, Pl, Bl, lam) in host_levels:
+                    self.levels.append(AMGLevel(Al, Pl, lam, dtype, df=df,
+                                                Binv=Bl))
+                self.coarse_inv = _up(coarse_inv, dtype)
+                return
+
         comp = None
         if components is not None:
             comp = np.asarray(components, dtype=np.int64)
@@ -243,11 +272,12 @@ class SmoothedAggregationAMG:
             pairs = _disjoint_pairs(
                 np.asarray(block_pairs, dtype=np.int64), A.shape[0])
 
-        A = A.tocsr()
+        host_levels = []
         for _ in range(max_levels):
             Binv = _block_dinv(A, pairs)
             lam = _lam_max_jacobi(A, Binv=Binv)
             if A.shape[0] <= coarse_size:
+                host_levels.append((A, None, Binv, lam))
                 self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
                                             Binv=Binv))
                 break
@@ -262,6 +292,7 @@ class SmoothedAggregationAMG:
                 comp_next = uniq % (comp.max() + 1)
             nagg = int(agg.max()) + 1
             if nagg >= A.shape[0]:  # no coarsening possible
+                host_levels.append((A, None, Binv, lam))
                 self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
                                             Binv=Binv))
                 break
@@ -269,6 +300,7 @@ class SmoothedAggregationAMG:
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], nagg))
             P = P0 - (omega / lam) * (Binv @ (A @ P0))
+            host_levels.append((A, P.tocsr(), Binv, lam))
             self.levels.append(AMGLevel(A, P, lam, dtype, df=df, Binv=Binv))
             A = (P.T @ A @ P).tocsr()
             A.sort_indices()
@@ -288,7 +320,10 @@ class SmoothedAggregationAMG:
         # guard singular coarse op (pure-Neumann blocks): regularise lightly
         scale = np.abs(dense).max() or 1.0
         dense = dense + 1e-12 * scale * np.eye(dense.shape[0])
-        self.coarse_inv = _up(np.linalg.inv(dense), dtype)
+        coarse_inv = np.linalg.inv(dense)
+        self.coarse_inv = _up(coarse_inv, dtype)
+        if key is not None:
+            save_amg_hierarchy(key, host_levels, coarse_inv)
 
     # ------------------------------------------------------------------
     def device_state(self):

@@ -94,7 +94,7 @@ def _build_blocks(assembler, u0_np):
 
 class BlockDiagonalPreconditioner:
     def __init__(self, assembler, u0, mode: str = "dense", dtype=None,
-                 df: bool = False):
+                 df: bool = False, cache: bool = False):
         """df: also build the compensated double-f32 application path
         (`apply_df`) — the production-tolerance preconditioner on TPU, where
         a plain f32 apply is a noisy operator that stalls the df32 Krylov
@@ -141,7 +141,7 @@ class BlockDiagonalPreconditioner:
             from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
 
             return ("amg", SmoothedAggregationAMG(b.tocsr(), dtype=dtype,
-                                                  df=df))
+                                                  df=df, cache=cache))
 
         self.apply_blocks = []
         for i, b in enumerate(blocks):
