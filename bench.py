@@ -1,8 +1,9 @@
 """Benchmark: KNP-EMI timestep throughput on TPU at the PRODUCTION
 operating point.
 
-Problem: many-cell 3D tissue (50 biological cells, 4 glial, in a 5 um box,
-48^3x6 tets, ~4.8e5 dofs — the reference's configs/5m/*c.yaml envelope),
+Problem: many-cell 3D tissue in a 5 um box (the reference's
+configs/5m/*c.yaml setup; size set by N_MESH/N_CELLS below — currently the
+largest point the axon runtime sustains reliably, see the note there),
 full neuron+glia membrane stack (HH + ATP pump + cotransporters + Kir),
 GMRES + SA-AMG block preconditioner at the reference production tolerance
 rtol 1e-9 (preconditioned norm, KNPEMIx_solver.py:27) via the
@@ -46,8 +47,10 @@ import jax.numpy as jnp
 # isolation — but sustained stepping trips an axon runtime defect (device
 # session dies after large long-running launches; see STATUS.md).  The
 # honest benchmark is the validated point; scale-up is gated on the
-# runtime, not on this framework (the same code steps 1.35M dofs on the
-# 8-device virtual CPU mesh in tests).
+# runtime, not on this framework (at 48^3 and 64^3 every pipeline stage
+# — assembly, ELL refresh, compensated matvec, AMG apply, bounded-restart
+# GMRES — runs and reads back correctly in isolation on the chip; see
+# STATUS.md gotcha 8 for the bisection).
 N_MESH = 24
 N_CELLS = 8
 WARMUP = 3
@@ -63,7 +66,6 @@ def main():
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
     cfg = load_config("configs/tissue/5m_100c.yaml")
-    # bench-sized tissue: 50 cells at 48^3 (~4.8e5 dofs)
     cfg.intra_tags = tuple(range(2, N_CELLS + 2))
     cfg.gamma_tags = tuple(range(2, N_CELLS + 2))
     # ~8% of cells are glial (last tags), mirroring configs/5m/100c.yaml
