@@ -646,6 +646,32 @@ class KNPEMIAssembler:
             self._lift_static = st["lift_static"]
         return old
 
+    def apply_vertex_remap(self, newpos_v, n_vpad: int):
+        """Re-target every VERTEX-indexed assembly gather (cell vertex
+        tables, membrane facet vertices, per-vertex sources) into a padded,
+        device-contiguous vertex layout, so the STATE FIELDS (u, phi_m,
+        gating) can be sharded over the device mesh alongside the solver
+        vectors — the last replicated piece of the PETSc distributed-vector
+        model (KNPEMIx_solver.py:452-468 scatters into distributed
+        component Vecs).  After this call `assemble` expects u/phi_m/gates
+        in the padded vertex layout ([nf, n_vpad] / [n_vpad])."""
+        if getattr(self, "_vertex_remap", None) is not None:
+            raise RuntimeError("apply_vertex_remap may only be called once")
+        if self.mms is not None:
+            raise RuntimeError("vertex remap does not support MMS problems")
+        newpos_v = np.asarray(newpos_v)
+        it = jnp.int32
+        self.mverts = jnp.asarray(
+            newpos_v[np.asarray(self.mverts)], dtype=it)
+        for s in self._sides:
+            s["Vt"] = jnp.asarray(newpos_v[s["Vt_np"]], dtype=it)
+        src = np.asarray(self.src)
+        src_pad = np.zeros((src.shape[0], n_vpad), dtype=src.dtype)
+        src_pad[:, newpos_v] = src
+        self.src = jnp.asarray(src_pad)
+        self.n_vpad = int(n_vpad)
+        self._vertex_remap = newpos_v
+
     def apply_dof_remap(self, halo):
         """Re-target every assembly scatter into `halo`'s padded,
         device-contiguous dof layout (see parallel/halo_spmv.py): rows/dofs

@@ -30,6 +30,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from knp_emi_cgx_tpu.parallel.halo_spmv import HaloSpMV
 
 
+def vertex_padding(vpart: np.ndarray, n_devices: int):
+    """Padded device-contiguous vertex layout from a vertex partition:
+    returns (newpos_v [nV] old-vertex -> padded position, n_vpad)."""
+    nV = vpart.shape[0]
+    order = np.argsort(vpart, kind="stable")
+    counts = np.bincount(vpart, minlength=n_devices)
+    verts_per = int(counts.max())
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    newpos_v = np.empty(nV, dtype=np.int64)
+    for d in range(n_devices):
+        sl = slice(offsets[d], offsets[d + 1])
+        newpos_v[order[sl]] = d * verts_per + np.arange(counts[d])
+    return newpos_v, verts_per * n_devices
+
+
+def unpad_vertex_fields(problem, arr):
+    """Map a padded vertex-sharded field array [..., n_vpad] back to the
+    original vertex order [..., nV] (host-side, for I/O and tests)."""
+    return np.asarray(arr)[..., problem._vperm_newpos]
+
+
 def vertex_dof_partition(assembler, n_devices: int):
     """Partition mesh vertices (BFS region growing on the vertex adjacency
     graph) and map every monolithic dof to its vertex's device.  Returns
@@ -257,7 +278,7 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     a = problem.assembler
     state = problem.initial_state()
 
-    _, dof_part = vertex_dof_partition(a, n_devices)
+    vpart, dof_part = vertex_dof_partition(a, n_devices)
     halo = HaloSpMV(a.indptr_np, a.csr_cols_np, a.n_dofs,
                     n_devices, axis=axis, part=dof_part)
     pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
@@ -266,6 +287,13 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     problem._sharded_pc = pc
     a.apply_dof_remap(halo)
     shard_assembler(a, device_mesh)
+    # padded device-contiguous VERTEX layout: the state fields (u, phi_m,
+    # gating) shard over the mesh alongside the solver vectors — the last
+    # replicated piece of the PETSc distributed-vector model
+    newpos_v, n_vpad = vertex_padding(vpart, n_devices)
+    a.apply_vertex_remap(newpos_v, n_vpad)
+    problem._vperm_newpos = newpos_v
+    problem._n_vpad = n_vpad
     if df32:
         matvec_A, mvA_arrays = halo.make_matvec_df_fn(
             device_mesh, repair=not a.has_bcs)
@@ -282,11 +310,26 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                                   rtol=rtol, restart=restart, axis=axis,
                                   df32=df32)
 
-    # pad + shard the warm-start vector; replicate the rest of the state
+    # pad + shard EVERYTHING: the warm-start vector over the dof layout,
+    # the state fields over the vertex layout
+    def padv(arr):
+        arr = np.asarray(arr)
+        out = np.zeros(arr.shape[:-1] + (n_vpad,), dtype=np.dtype(dtype))
+        out[..., newpos_v] = arr
+        return jnp.asarray(out)
+
+    vec_sh = NamedSharding(device_mesh, P(axis))
+    state = state._replace(
+        u=jax.device_put(padv(state.u),
+                         NamedSharding(device_mesh, P(None, axis))),
+        phi_m=jax.device_put(padv(state.phi_m), vec_sh),
+        n=jax.device_put(padv(state.n), vec_sh),
+        m=jax.device_put(padv(state.m), vec_sh),
+        h=jax.device_put(padv(state.h), vec_sh),
+        t=jax.device_put(state.t, NamedSharding(device_mesh, P())),
+    )
     x_pad = np.zeros(halo.n_padded)
     x_pad[halo.newpos] = np.asarray(state.x)
-    rep = NamedSharding(device_mesh, P())
-    state = jax.device_put(state, rep)
     xs = jnp.asarray(x_pad.astype(np.dtype(dtype)))
     if df32:
         xs = jnp.stack([xs, jnp.zeros_like(xs)])
@@ -320,13 +363,16 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
         mask = (a.nullspace_np != 0).astype(np.float64)
         ns_df = df_from_f64(jnp.asarray(mask / np.linalg.norm(mask)))
 
-    # scatter maps from the PADDED solver vector back into field arrays
+    # scatter maps from the PADDED solver vector back into the PADDED
+    # (vertex-sharded) field arrays
     fd = a.field_dof
     newpos = np.asarray(halo.newpos)
+    newpos_v = getattr(problem, "_vperm_newpos", None)
     scat = []
     for f in range(a.nf):
         active = np.nonzero(fd[f] >= 0)[0]
-        scat.append((jnp.asarray(active),
+        vpos = newpos_v[active] if newpos_v is not None else active
+        scat.append((jnp.asarray(vpos),
                      jnp.asarray(newpos[fd[f, active]])))
 
     gating = problem.gating_variables

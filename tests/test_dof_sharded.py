@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from knp_emi_cgx_tpu.parallel.dof_sharded import (
-    build_dof_sharded_problem, vertex_dof_partition,
+    build_dof_sharded_problem, unpad_vertex_fields, vertex_dof_partition,
     ShardedChebyshevPreconditioner)
 
 
@@ -54,14 +54,20 @@ def test_dof_sharded_8_matches_1_device():
     p8, s8, step8, mesh8, halo8 = build_dof_sharded_problem(
         8, devices=cpu, n_mesh=12)
     out8, its8 = step8(s8)
+    # the state FIELDS stay sharded through the step (not re-replicated):
+    # u over the padded vertex layout, x over the padded dof layout
+    assert out8.u.sharding.spec == jax.sharding.PartitionSpec(None, "cells")
+    assert out8.phi_m.sharding.spec == jax.sharding.PartitionSpec("cells")
+    assert out8.x.sharding.spec == jax.sharding.PartitionSpec("cells")
 
     p1, s1, step1, mesh1, halo1 = build_dof_sharded_problem(
         1, devices=cpu[:1], n_mesh=12)
     out1, its1 = step1(s1)
 
     # identical partition-independent result: compare the field arrays
-    u8 = np.asarray(out8.u)
-    u1 = np.asarray(out1.u)
+    # (each build uses its own padded vertex layout — unpad first)
+    u8 = unpad_vertex_fields(p8, out8.u)
+    u1 = unpad_vertex_fields(p1, out1.u)
     assert np.all(np.isfinite(u8))
     np.testing.assert_allclose(u8, u1, rtol=1e-9, atol=1e-13)
     assert int(its8) == int(its1)
@@ -97,7 +103,7 @@ def test_dof_sharded_matches_standard_step():
         s_sh, its_sh = step_sh(s_sh)
         state, its = step(state)
 
-    u_sh = np.asarray(s_sh.u)
+    u_sh = unpad_vertex_fields(p_sh, s_sh.u)
     u_ref = np.asarray(state.u)
     np.testing.assert_allclose(u_sh, u_ref, rtol=1e-7, atol=1e-11)
 
