@@ -763,6 +763,11 @@ class SolverKNPEMI:
     def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:
         """Pure on-device time loop (lax.scan) — no host round-trips; used
         for benchmarking and production runs without per-step I/O."""
+        if self.split_step:
+            # split_step exists to BOUND single-program size on runtimes
+            # that kill large launches; tracing the whole loop into one
+            # scan would undo that
+            raise RuntimeError("scan_solve is incompatible with split_step")
         if self.mixed_precision:
             state = state._replace(x=state.x.astype(jnp.float64))
         elif self.precision == "df32" and state.x.ndim == 1:
