@@ -180,6 +180,13 @@ def parse_config(config: dict[str, Any], base_dir: str = ".") -> SimulationConfi
     if "cell_tag_file" in config and "facet_tag_file" in config:
         c.mesh_file = os.path.join(input_dir, config["cell_tag_file"])
         c.facet_file = os.path.join(input_dir, config["facet_tag_file"])
+    elif "mesh_file" in config:
+        # superset of the reference schema: a standalone mesh_file key
+        # (the reference requires the cell/facet tag-file pair,
+        # mixed_dim_problem.py:107-112; generated-mesh specs don't)
+        c.mesh_file = os.path.join(input_dir, config["mesh_file"])
+        if "facet_tag_file" in config:
+            c.facet_file = os.path.join(input_dir, config["facet_tag_file"])
 
     if "dt" not in config:
         raise RuntimeError("Provide dt (timestep size) field in input file.")

@@ -246,3 +246,76 @@ class KNPEMIOutputs:
                 print("Average iterations: "
                       f"{sum(solver.iterations) / len(solver.iterations)}")
         print(f"Total solve time: {sum(solver.solve_time):.4f} s")
+
+
+class EMIOutputs:
+    """Per-step output recorder for SolverEMI — the EMI counterpart of
+    KNPEMIOutputs (reference: the EMI solver's XDMF/png/npy paths,
+    EMIx_solver.py:313-346,348-420): phi_i/phi_e/phi_m XDMF snapshots on
+    the save_interval cadence, the membrane-potential trace at the
+    measurement vertex, and npy export."""
+
+    def __init__(self, problem, solver, solver_config: dict | None = None):
+        self.problem = problem
+        self.solver = solver
+        sc = solver_config or problem.cfg.solver_config or {}
+        out = sc.get("output", {}) or {}
+        self.save_xdmf = bool(out.get("save_xdmf", False))
+        self.save_pngs = bool(out.get("save_pngs", False))
+        self.save_dat = bool(out.get("save_dat", False))
+        self.save_interval = int(out.get("save_interval", 20))
+        self.out_dir = problem.cfg.output_dir
+        os.makedirs(self.out_dir, exist_ok=True)
+
+        self.png_vertex = find_membrane_measurement_vertex(
+            problem.topo, problem.cfg.membrane_data_tag)
+        self.v_t: list[float] = []
+        self.times: list[float] = []
+
+        self._writer = None
+        if self.save_xdmf:
+            from knp_emi_cgx_tpu.io.xdmf_impl import XDMFWriter
+
+            self._writer = XDMFWriter(
+                os.path.join(self.out_dir, "solution.xdmf"),
+                problem.topo.mesh)
+
+    def record_initial(self, state):
+        self._record(0, state, force=True)
+
+    def __call__(self, i, state):
+        self._record(i, state)
+
+    def _record(self, i, state, force=False):
+        v = float(np.asarray(state.phi_m[self.png_vertex]))
+        self.v_t.append(1000.0 * v)
+        self.times.append(float(state.t) * 1000.0)
+        if self._writer is not None and (force or i % self.save_interval == 0):
+            phi = np.asarray(state.phi)
+            self._writer.write_fields(float(state.t), {
+                "phi_i": phi[0], "phi_e": phi[1],
+                "phi_m": np.asarray(state.phi_m)})
+
+    def finalize(self):
+        if self._writer is not None:
+            self._writer.close()
+        if self.save_pngs:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(self.times, self.v_t)
+            ax.set_xlabel("time (ms)")
+            ax.set_ylabel("membrane potential (mV)")
+            fig.savefig(os.path.join(self.out_dir, "phi_m.png"), dpi=120)
+            plt.close(fig)
+        if self.save_dat:
+            np.save(os.path.join(self.out_dir, "phi_m.npy"),
+                    np.asarray(self.v_t))
+            np.save(os.path.join(self.out_dir, "times.npy"),
+                    np.asarray(self.times))
+            if self.solver.iterations:
+                np.save(os.path.join(self.out_dir, "iterations.npy"),
+                        np.asarray(self.solver.iterations))

@@ -129,7 +129,13 @@ def _main_emi(cfg, mesh, dtype):
              else EMIPassiveModel())
     problem.init_ionic_models([model])
     solver = SolverEMI(problem, cfg.solver_config)
-    state = solver.solve()
+    from knp_emi_cgx_tpu.io.outputs import EMIOutputs
+
+    outputs = EMIOutputs(problem, solver, cfg.solver_config)
+    state = problem.initial_state()
+    outputs.record_initial(state)
+    state = solver.solve(state, callback=outputs)
+    outputs.finalize()
     norms = problem.l2_norms(state)
     print(f"L2 norm phi_i = {norms['phi_i']}")
     print(f"L2 norm phi_e = {norms['phi_e']}")

@@ -146,3 +146,37 @@ def test_ode_initializer_two_compartment():
     assert -0.10 < phi_m < -0.05
     assert all(c > 0 for c in sol[1:7])
     assert all(0 < g < 1 for g in sol[7:])
+
+
+def test_emi_cli_outputs(tmp_path):
+    """EMI CLI writes XDMF snapshots, phi_m trace png and npy exports
+    (reference EMI solver output paths, EMIx_solver.py:313-420)."""
+    import yaml
+
+    cfg = {
+        "problem_type": "EMI",
+        "mesh_file": "generate:square16",
+        "dt": 2e-5, "time_steps": 4,
+        "C_M": 0.02, "sigma_i": 1.0, "sigma_e": 1.0,
+        "ics_tags": [1], "ecs_tags": [2], "boundary_tags": [3],
+        "membrane_tags": [4],
+        "dirichlet_bcs": False,
+        "ionic_model": "HH",
+        "initial_conditions": {"phi_m": -0.06774},
+        "output_dir": str(tmp_path / "out"),
+        "solver": {"direct": True,
+                   "output": {"save_xdmf": True, "save_pngs": True,
+                              "save_dat": True, "save_interval": 2}},
+    }
+    cfg_file = tmp_path / "emi.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+
+    from knp_emi_cgx_tpu.main import main_yaml
+
+    problem, solver, state = main_yaml(str(cfg_file))
+    out = tmp_path / "out"
+    assert (out / "solution.xdmf").exists()
+    assert (out / "phi_m.png").exists()
+    trace = np.load(out / "phi_m.npy")
+    assert trace.shape[0] == 5            # initial + 4 steps
+    assert np.all(np.isfinite(trace))
