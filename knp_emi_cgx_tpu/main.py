@@ -51,23 +51,9 @@ def main_yaml(yaml_file: str, resume: str | None = None,
     # allow "generate:squareN" / "generate:cubeN" / "generate:tissueNxCc"
     # pseudo-files for meshes
     if mesh is None and cfg.mesh_file and "generate:" in cfg.mesh_file:
-        import re
+        from knp_emi_cgx_tpu.mesh.generation import geometry_from_spec
 
-        from knp_emi_cgx_tpu.mesh.generation import (
-            generate_square_geometry, generate_cube_geometry,
-            generate_tissue_geometry)
-
-        spec = cfg.mesh_file.split("generate:")[1]
-        tissue = re.fullmatch(r"tissue(\d+)x(\d+)c", spec)
-        if tissue:
-            mesh, tagger = generate_tissue_geometry(int(tissue.group(1)),
-                                                    int(tissue.group(2)))
-        elif spec.startswith("square"):
-            mesh, tagger = generate_square_geometry(int(spec[6:]))
-        elif spec.startswith("cube"):
-            mesh, tagger = generate_cube_geometry(int(spec[4:]))
-        else:
-            raise ValueError(f"Unknown generated mesh spec: {spec}")
+        mesh, tagger = geometry_from_spec(cfg.mesh_file)
         mesh._facet_tagger = tagger
 
     if cfg.problem_type == "EMI":

@@ -254,6 +254,27 @@ def mark_boundaries_cube_mms(mesh: SimplexMesh, facets: np.ndarray,
 # Complete tagged geometries (mesh + cell tags + facet tagger)
 # ---------------------------------------------------------------------------
 
+def geometry_from_spec(spec: str):
+    """Resolve a `generate:` pseudo-file mesh spec (the CLI convention,
+    main.py) to (mesh, facet_tagger): "squareN", "cubeN", "tissueNxCc",
+    "circleN".  The tagger is attached by the caller via
+    `mesh._facet_tagger`."""
+    import re
+
+    spec = spec.split("generate:")[-1]
+    tissue = re.fullmatch(r"tissue(\d+)x(\d+)c", spec)
+    if tissue:
+        return generate_tissue_geometry(int(tissue.group(1)),
+                                        int(tissue.group(2)))
+    if spec.startswith("square"):
+        return generate_square_geometry(int(spec[6:]))
+    if spec.startswith("cube"):
+        return generate_cube_geometry(int(spec[4:]))
+    if spec.startswith("circle"):
+        return generate_circle_geometry(n_rings=int(spec[6:]))
+    raise ValueError(f"Unknown generated mesh spec: {spec}")
+
+
 def generate_square_geometry(n: int, diagonal: str = "right", mms: bool = False):
     """Unit square with the inner box tagged; returns (mesh, facet_tagger).
     The facet tagger is applied by `build_topology` once facets exist."""

@@ -224,7 +224,10 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               dtype=None, rtol: float | None = None,
                               restart: int = 30, cheb_iters: int = 5,
                               config: str = "configs/tests/golden_parity.yaml",
-                              precision: str = "auto"):
+                              precision: str = "auto",
+                              pc_mode: str = "chebyshev",
+                              mesh_spec: str | None = None,
+                              cache: bool = False):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -232,10 +235,21 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     precision="df32": the sharded PRODUCTION-tolerance path — f32 storage
     and assembly, compensated double-f32 Krylov (solvers/df32.py) with
     per-device ELL tree-reduction halo matvecs, block-local compensated
-    dots, df32 Chebyshev preconditioning and the in-matvec exact-nullspace
-    repair; certifies rtol 1e-9 with pure f32 tensor ops on every chip."""
+    dots, df32 preconditioning and the in-matvec exact-nullspace
+    repair; certifies rtol 1e-9 with pure f32 tensor ops on every chip.
+
+    pc_mode="amg": sharded SA-AMG V-cycle (parallel/sharded_amg.py — the
+    parallel-BoomerAMG equivalent, mesh-robust iteration counts);
+    "chebyshev": the per-dof Chebyshev block preconditioner.
+
+    mesh_spec: a `generate:` spec ("tissue16x8c", "cube16", "square12") for
+    the PRODUCTION problem class — 3D many-cell tissue with the full
+    neuron+glia membrane stack selected from the config (main.build_models,
+    reference main.py:27-45).  None keeps the 2D square + neuronal stack.
+    """
     from knp_emi_cgx_tpu.config import load_config
-    from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
+    from knp_emi_cgx_tpu.mesh.generation import (generate_square_geometry,
+                                                 geometry_from_spec)
     from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
                                               NeuronalCotransporters)
     from knp_emi_cgx_tpu.ops.assembly import KNPEMIAssembler
@@ -265,12 +279,20 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     cfg = load_config(config)
     cfg.solver_config = {"direct": False,
                          "ksp_settings": {"ksp_rtol": rtol,
-                                          "pc_mode": "chebyshev"}}
-    mesh, tagger = generate_square_geometry(n_mesh)
-    mesh._facet_tagger = tagger
-    problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=dtype)
-    problem.init_ionic_models(
-        [NeuronalCotransporters(), HodgkinHuxley(), ATPPump()])
+                                          "pc_mode": pc_mode}}
+    if mesh_spec is None:
+        mesh, tagger = generate_square_geometry(n_mesh)
+        mesh._facet_tagger = tagger
+        problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=dtype)
+        problem.init_ionic_models(
+            [NeuronalCotransporters(), HodgkinHuxley(), ATPPump()])
+    else:
+        from knp_emi_cgx_tpu.main import build_models
+
+        mesh, tagger = geometry_from_spec(mesh_spec)
+        mesh._facet_tagger = tagger
+        problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=dtype)
+        problem.init_ionic_models(build_models(problem, config))
     problem.assembler = KNPEMIAssembler(
         problem.topo, problem.params, problem.ionic_models,
         dtype=dtype, dirichlet_bcs=cfg.dirichlet_bcs,
@@ -281,9 +303,15 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     vpart, dof_part = vertex_dof_partition(a, n_devices)
     halo = HaloSpMV(a.indptr_np, a.csr_cols_np, a.n_dofs,
                     n_devices, axis=axis, part=dof_part)
-    pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
-                                        device_mesh, iters=cheb_iters,
-                                        axis=axis, df=df32)
+    if pc_mode == "amg":
+        from knp_emi_cgx_tpu.parallel.sharded_amg import ShardedAMG
+
+        pc = ShardedAMG(a, problem._u0_np, dof_part, device_mesh,
+                        axis=axis, df=df32, cache=cache)
+    else:
+        pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
+                                            device_mesh, iters=cheb_iters,
+                                            axis=axis, df=df32)
     problem._sharded_pc = pc
     a.apply_dof_remap(halo)
     shard_assembler(a, device_mesh)
@@ -311,32 +339,39 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                                   df32=df32)
 
     # pad + shard EVERYTHING: the warm-start vector over the dof layout,
-    # the state fields over the vertex layout
+    # the state fields over the vertex layout.  shard_global_array is the
+    # multi-process-safe device_put (parallel/distributed.py): in a
+    # multi-process launch every process holds the full host array
+    # (deterministic redundant setup) and contributes its addressable
+    # shards only.
+    from knp_emi_cgx_tpu.parallel.distributed import shard_global_array
+
     def padv(arr):
         arr = np.asarray(arr)
         out = np.zeros(arr.shape[:-1] + (n_vpad,), dtype=np.dtype(dtype))
         out[..., newpos_v] = arr
-        return jnp.asarray(out)
+        return out
 
     vec_sh = NamedSharding(device_mesh, P(axis))
     state = state._replace(
-        u=jax.device_put(padv(state.u),
-                         NamedSharding(device_mesh, P(None, axis))),
-        phi_m=jax.device_put(padv(state.phi_m), vec_sh),
-        n=jax.device_put(padv(state.n), vec_sh),
-        m=jax.device_put(padv(state.m), vec_sh),
-        h=jax.device_put(padv(state.h), vec_sh),
-        t=jax.device_put(state.t, NamedSharding(device_mesh, P())),
+        u=shard_global_array(padv(state.u),
+                             NamedSharding(device_mesh, P(None, axis))),
+        phi_m=shard_global_array(padv(state.phi_m), vec_sh),
+        n=shard_global_array(padv(state.n), vec_sh),
+        m=shard_global_array(padv(state.m), vec_sh),
+        h=shard_global_array(padv(state.h), vec_sh),
+        t=shard_global_array(np.asarray(state.t),
+                             NamedSharding(device_mesh, P())),
     )
     x_pad = np.zeros(halo.n_padded)
     x_pad[halo.newpos] = np.asarray(state.x)
-    xs = jnp.asarray(x_pad.astype(np.dtype(dtype)))
+    xs = x_pad.astype(np.dtype(dtype))
     if df32:
-        xs = jnp.stack([xs, jnp.zeros_like(xs)])
+        xs = np.stack([xs, np.zeros_like(xs)])
         x_sharding = NamedSharding(device_mesh, P(None, axis))
     else:
         x_sharding = NamedSharding(device_mesh, P(axis))
-    state = state._replace(x=jax.device_put(xs, x_sharding))
+    state = state._replace(x=shard_global_array(xs, x_sharding))
     return problem, state, step_fn, device_mesh, halo
 
 

@@ -162,11 +162,19 @@ class HaloSpMV:
         self.vals_gather = jnp.asarray(vals_map, dtype=jnp.int32)
         self.pad = jnp.asarray(pad_mask.astype(np.float64))
         self.send_idx = {d: jnp.asarray(v) for d, v in send_idx.items()}
-        # host copies for the lazily built per-device ELL (df32 path)
+        # host copies for the lazily built per-device ELL (df32 path) and
+        # for setup-time value sharding without a device readback (never
+        # D2H in a setup path — axon flips into synchronous mode)
         self._col_slot_np = col_slot
         self._local_rows_np = local_rows
         self._pad_mask_np = pad_mask
+        self._vals_gather_np = vals_map
         self._ell = None
+
+    def shard_values_np(self, vals_np: np.ndarray) -> np.ndarray:
+        """Host-side shard_values for static setup products."""
+        return (vals_np[self._vals_gather_np]
+                * self._pad_mask_np.astype(vals_np.dtype))
 
     # ------------------------------------------------------------------
     # Per-device ELL layout: row-major padded storage whose width-axis

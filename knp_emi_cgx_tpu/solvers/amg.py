@@ -102,6 +102,28 @@ def _lam_max_jacobi(A: sp.csr_matrix, iters: int = 20,
     return float(lam)
 
 
+def _lam_max_per_component(A: sp.csr_matrix, comp: np.ndarray,
+                           Binv: sp.csr_matrix, iters: int = 20) -> np.ndarray:
+    """Per-dof lambda_max(B A) where A/B are block-diagonal across the
+    `comp` labels (the monolithic field-block preconditioner): simultaneous
+    per-component power iteration — one global SpMV per iteration with
+    per-component renormalisation is exactly independent power iterations,
+    because no entry couples two components.  Returns lam per DOF (constant
+    within each component)."""
+    ncomp = int(comp.max()) + 1
+    x = np.random.default_rng(0).normal(size=A.shape[0])
+    lam = np.ones(ncomp)
+    for _ in range(iters):
+        nrm = np.sqrt(np.bincount(comp, x * x, minlength=ncomp))
+        nrm[nrm == 0] = 1.0
+        x = x / nrm[comp]
+        y = Binv @ (A @ x)
+        lam = np.sqrt(np.bincount(comp, y * y, minlength=ncomp))
+        x = y
+    lam[lam == 0] = 1.0
+    return lam[comp]
+
+
 def _disjoint_pairs(pairs: np.ndarray, n: int) -> np.ndarray:
     """Greedy maximal disjoint subset of dof pairs (each dof in <=1 block)."""
     used = np.zeros(n, dtype=bool)
@@ -156,12 +178,21 @@ class AMGLevel:
               "P_indices", "P_row_ids", "P_vals",
               "R_indices", "R_row_ids", "R_vals",
               "A_ell_cols", "A_ell_vals", "B_ell_cols", "B_ell_vals",
-              "P_ell_cols", "P_ell_vals", "R_ell_cols", "R_ell_vals")
+              "P_ell_cols", "P_ell_vals", "R_ell_cols", "R_ell_vals",
+              "lam_vec")
 
-    def __init__(self, A: sp.csr_matrix, P: sp.csr_matrix | None, lam_max: float,
+    def __init__(self, A: sp.csr_matrix, P: sp.csr_matrix | None, lam_max,
                  dtype, df: bool = False, Binv: sp.csr_matrix | None = None):
         from knp_emi_cgx_tpu.ops.spmv import expand_row_ids
 
+        # lam_max may be a per-dof VECTOR (per-component spectral bounds,
+        # see _lam_max_per_component) — the smoothers then use per-dof
+        # Chebyshev-Jacobi weights, constant within each component
+        if np.ndim(lam_max) > 0:
+            self.lam_vec = _up(lam_max, dtype)
+            lam_max = float(np.max(lam_max))
+        else:
+            self.lam_vec = None
         self.n = A.shape[0]
         self.A_indices = _up(A.indices, jnp.int32)
         self.A_row_ids = expand_row_ids(A.indptr)
@@ -219,7 +250,9 @@ class SmoothedAggregationAMG:
                  smooth_iters: int = 2, df: bool = False,
                  components: np.ndarray | None = None,
                  block_pairs: np.ndarray | None = None,
-                 cache: bool = False):
+                 cache: bool = False,
+                 per_component_lam: bool = False,
+                 keep_host: bool = False):
         """components: optional int label per dof (e.g. biological
         compartment id).  When given, aggregates never span two components,
         so the tentative prolongation exactly reproduces every
@@ -233,6 +266,12 @@ class SmoothedAggregationAMG:
         self.smooth_iters = smooth_iters
         self.df = df
         self.levels: list[AMGLevel] = []
+        # keep_host: retain the host-side (A, P, Binv, lam) per level — the
+        # sharded-AMG build (parallel/sharded_amg.py) consumes them
+        self.host_levels = None
+        self.coarse_inv_np = None
+        if per_component_lam and components is None:
+            raise ValueError("per_component_lam requires components")
 
         A = A.tocsr()
         key = None
@@ -252,6 +291,8 @@ class SmoothedAggregationAMG:
             if block_pairs is not None and len(block_pairs):
                 key_arrays.append(np.asarray(block_pairs))
                 extra += "_bp"
+            if per_component_lam:
+                extra += "_pcl"
             key = content_key(*key_arrays, extra=extra)
             hit = load_amg_hierarchy(key)
             if hit is not None:
@@ -260,6 +301,9 @@ class SmoothedAggregationAMG:
                     self.levels.append(AMGLevel(Al, Pl, lam, dtype, df=df,
                                                 Binv=Bl))
                 self.coarse_inv = _up(coarse_inv, dtype)
+                if keep_host:
+                    self.host_levels = host_levels
+                    self.coarse_inv_np = coarse_inv
                 return
 
         comp = None
@@ -275,7 +319,10 @@ class SmoothedAggregationAMG:
         host_levels = []
         for _ in range(max_levels):
             Binv = _block_dinv(A, pairs)
-            lam = _lam_max_jacobi(A, Binv=Binv)
+            if per_component_lam:
+                lam = _lam_max_per_component(A, comp, Binv)
+            else:
+                lam = _lam_max_jacobi(A, Binv=Binv)
             if A.shape[0] <= coarse_size:
                 host_levels.append((A, None, Binv, lam))
                 self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
@@ -299,7 +346,12 @@ class SmoothedAggregationAMG:
             P0 = sp.csr_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], nagg))
-            P = P0 - (omega / lam) * (Binv @ (A @ P0))
+            if per_component_lam:
+                # per-dof damping: each component's rows smoothed with its
+                # own spectral bound (the per-block prolongation smoother)
+                P = P0 - omega * (sp.diags(1.0 / lam) @ (Binv @ (A @ P0)))
+            else:
+                P = P0 - (omega / lam) * (Binv @ (A @ P0))
             host_levels.append((A, P.tocsr(), Binv, lam))
             self.levels.append(AMGLevel(A, P, lam, dtype, df=df, Binv=Binv))
             A = (P.T @ A @ P).tocsr()
@@ -324,6 +376,9 @@ class SmoothedAggregationAMG:
         self.coarse_inv = _up(coarse_inv, dtype)
         if key is not None:
             save_amg_hierarchy(key, host_levels, coarse_inv)
+        if keep_host:
+            self.host_levels = host_levels
+            self.coarse_inv_np = coarse_inv
 
     # ------------------------------------------------------------------
     def device_state(self):
@@ -345,8 +400,9 @@ class SmoothedAggregationAMG:
         """Chebyshev-weighted Jacobi sweeps (TPU-friendly polynomial)."""
         from knp_emi_cgx_tpu.ops.spmv import csr_mv
 
-        lam = level.lam_max
-        # alternating two-weight scheme targeting [0.3*lam, 1.1*lam]
+        # alternating two-weight scheme targeting [0.3*lam, 1.1*lam];
+        # per-dof weights when per-component spectral bounds are available
+        lam = level.lam_vec if level.lam_vec is not None else level.lam_max
         weights = (1.0 / (0.7 * lam), 1.0 / (1.1 * lam))
         for it in range(self.smooth_iters):
             omega = weights[it % 2]
@@ -383,8 +439,14 @@ class SmoothedAggregationAMG:
         from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32,
                                                   ell_mv_df)
 
-        lam = level.lam_max
-        weights = (np.float32(1.0 / (0.7 * lam)), np.float32(1.0 / (1.1 * lam)))
+        if level.lam_vec is not None:
+            lam = level.lam_vec.astype(jnp.float32)
+            weights = (1.0 / (np.float32(0.7) * lam),
+                       1.0 / (np.float32(1.1) * lam))
+        else:
+            lam = level.lam_max
+            weights = (np.float32(1.0 / (0.7 * lam)),
+                       np.float32(1.0 / (1.1 * lam)))
         for it in range(self.smooth_iters):
             omega = weights[it % 2]
             yh, yl = ell_mv_df(level.A_ell_cols, level.A_ell_vals, xh, xl)

@@ -86,7 +86,9 @@ def load_amg_hierarchy(key: str):
                 A = _csr_from_dict(f"A{i}", d)
                 B = _csr_from_dict(f"B{i}", d)
                 P = _csr_from_dict(f"P{i}", d) if bool(d[f"hasP{i}"]) else None
-                levels.append((A, P, B, float(d[f"lam{i}"])))
+                lam = np.asarray(d[f"lam{i}"])
+                # scalar (classic) or per-dof vector (per-component bounds)
+                levels.append((A, P, B, float(lam) if lam.ndim == 0 else lam))
             return levels, np.asarray(d["coarse_inv"])
     except Exception:
         return None

@@ -172,11 +172,22 @@ class EMIMMS(_SymbolicMMS):
     """
 
     def __init__(self, dim: int = 2, sigma_i: float = 1.0,
-                 sigma_e: float = 1.0, C_M: float = 1.0):
+                 sigma_e: float = 1.0, C_M: float = 1.0,
+                 exact: str = "sinsin"):
+        """exact="sinsin": the reference square_test.py fields (zero on the
+        unit-square boundary).  exact="radial": u = 1 - r^2 about the
+        origin — zero on the UNIT-CIRCLE boundary, so the grounded-exterior
+        Dirichlet BC of the circle geometry (reference
+        EMI/tests/circle_test.py:275-280, which grounds a boundary where
+        its sin·sin exact solution is NOT zero) is consistent and real
+        convergence can be asserted."""
         t, xs = self._setup_coords(dim)
-        s = sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1])
-        if dim == 3:
-            s = s * sp.sin(2 * sp.pi * xs[2])
+        if exact == "radial":
+            s = 1 - sum(c * c for c in xs)
+        else:
+            s = sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1])
+            if dim == 3:
+                s = s * sp.sin(2 * sp.pi * xs[2])
         ui = s * (1 + sp.exp(-t))
         ue = s
         phi_m = ui - ue

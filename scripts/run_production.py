@@ -1,0 +1,175 @@
+"""Production-envelope demonstration run (VERDICT r2 #1).
+
+Completes a many-cell 3D tissue KNP-EMI run at the reference's production
+operating point — >=5e5 dofs, >=50 steps, rtol 1e-9 (real preconditioned
+residual), full neuron+glia membrane stack — on the dof-sharded df32 path
+over an 8-device mesh (virtual CPU devices when the TPU runtime cannot
+sustain the size; the code path is the production one either way).
+
+Reference anchors: configs/5m/100c.yaml:27-33 (the envelope),
+utils/plot_scaling.py:6-8 (the reference's own timing of such a run).
+
+Records per-step GMRES iterations, wall-clock, ion conservation drift and
+the final real-f64 preconditioned residual to a JSON file consumed by
+PERF.md.
+
+Usage:
+  python scripts/run_production.py --mesh 48 --cells 100 --steps 50 \
+      --config configs/tissue/5m_100c.yaml --out output/prod_48_100c.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=48)
+    ap.add_argument("--cells", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--rtol", type=float, default=1e-9)
+    ap.add_argument("--restart", type=int, default=30)
+    ap.add_argument("--precision", default="df32")
+    ap.add_argument("--pc", default="amg")
+    ap.add_argument("--config", default="configs/tissue/5m_100c.yaml")
+    ap.add_argument("--out", default="output/production_run.json")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (virtual 8-device mesh) or default backend")
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platform_name", "cpu")
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        devices = jax.devices("cpu")
+    else:
+        devices = jax.devices()
+
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.parallel.dof_sharded import build_dof_sharded_problem
+
+    spec = f"tissue{args.mesh}x{args.cells}c"
+    cfg = load_config(args.config)   # only for tag bookkeeping printout
+    n_glia_tags = len(cfg.glia_tags)
+
+    print(f"[setup] {spec}, {args.devices} devices, {args.precision} "
+          f"{args.pc} rtol={args.rtol}", flush=True)
+    tic = time.perf_counter()
+    problem, state, step, dmesh, halo = build_dof_sharded_problem(
+        args.devices, devices=devices, config=args.config, mesh_spec=spec,
+        precision=args.precision, pc_mode=args.pc, rtol=args.rtol,
+        restart=args.restart, cache=True)
+    setup_s = time.perf_counter() - tic
+    a = problem.assembler
+    n_dofs = a.n_dofs
+    print(f"[setup] n_dofs={n_dofs}, setup {setup_s:.1f} s", flush=True)
+
+    cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
+
+    # first (cold) step triggers the jit compile
+    tic = time.perf_counter()
+    state, its0 = step(state)
+    jax.block_until_ready(state)
+    t_first = time.perf_counter() - tic
+    print(f"[run] step 1: {int(its0)} its, {t_first:.1f} s "
+          f"(incl. compile)", flush=True)
+
+    its_series = [int(its0)]
+    times = []
+    prev_state = None
+    for i in range(2, args.steps + 1):
+        tic = time.perf_counter()
+        if i == args.steps:
+            prev_state = state   # kept for the residual certification
+        state, its = step(state)
+        jax.block_until_ready(state)
+        dt_s = time.perf_counter() - tic
+        times.append(dt_s)
+        its_series.append(int(its))
+        if i % 5 == 0 or i == args.steps:
+            phi_max = float(jax.numpy.max(jax.numpy.abs(state.phi_m)))
+            print(f"[run] step {i}: {int(its)} its, {dt_s:.2f} s, "
+                  f"max|phi_m|={phi_max:.4e}", flush=True)
+        assert np.isfinite(float(state.u[0, 0])), f"non-finite at step {i}"
+
+    consN = {k: float(v) for k, v in problem.conservation(state).items()}
+    norms = {k: float(v) for k, v in problem.l2_norms(state).items()}
+
+    # certify the REAL f64 preconditioned residual of the last solve
+    # (PETSc KSP semantics — the tolerance the reference's rtol refers to)
+    rel = None
+    if args.precision == "df32" and prev_state is not None:
+        from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
+
+        pc = problem._sharded_pc
+        # reconstruct the final solve's system: operator assembled from the
+        # PRE-step fields with the post-gating-update gates (exactly what
+        # the step assembled), solved for x = state.x
+        gates = {"n": state.n, "m": state.m, "h": state.h}
+        vals, b = a.assemble(prev_state.u, prev_state.phi_m, gates, state.t)
+        matvec_df, arrays = halo.make_matvec_df_fn(dmesh,
+                                                   repair=not a.has_bcs)
+        if not a.has_bcs:
+            onehot, phimask = halo.ell_repair_onehot(a.phi_repair_slots_np,
+                                                     a.phi_col_mask_np)
+            arrays = dict(arrays, repair_onehot=onehot, phi_mask_ell=phimask)
+        vals_sh = vals.reshape(args.devices, -1)
+        mask = (a.nullspace_np != 0).astype(np.float64)
+        nsv = mask / np.linalg.norm(mask)
+
+        def proj(v):
+            return v - nsv * (nsv @ v)
+
+        yh, yl = matvec_df(arrays, vals_sh, state.x[0], state.x[1])
+        r = proj(np.asarray(b, np.float64) - np.asarray(df_to_f64(yh, yl)))
+        Mr = proj(np.asarray(df_to_f64(
+            *pc.apply_df(*df_from_f64(jax.numpy.asarray(r))))))
+        bp = proj(np.asarray(b, np.float64))
+        Mb = proj(np.asarray(df_to_f64(
+            *pc.apply_df(*df_from_f64(jax.numpy.asarray(bp))))))
+        rel = float(np.linalg.norm(Mr) / np.linalg.norm(Mb))
+        print(f"[cert] real f64 preconditioned residual of final solve: "
+              f"{rel:.3e} (rtol {args.rtol})", flush=True)
+
+    cons_drift = {k: abs(consN[k] - cons0[k]) / abs(cons0[k])
+                  for k in cons0}
+    result = {
+        "spec": spec, "n_dofs": int(n_dofs), "steps": args.steps,
+        "devices": args.devices, "precision": args.precision,
+        "pc": args.pc, "rtol": args.rtol,
+        "glia_tags": n_glia_tags,
+        "setup_seconds": round(setup_s, 1),
+        "first_step_seconds": round(t_first, 1),
+        "sec_per_step_warm": round(float(np.mean(times)), 3) if times else None,
+        "iterations": its_series,
+        "iterations_mean": round(float(np.mean(its_series)), 2),
+        "conservation_initial": cons0,
+        "conservation_final": consN,
+        "conservation_rel_drift": cons_drift,
+        "l2_norms": norms,
+        "final_real_precond_residual": rel,
+        "platform": args.platform,
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[done] wrote {args.out}", flush=True)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "iterations"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
