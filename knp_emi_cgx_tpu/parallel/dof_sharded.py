@@ -314,12 +314,15 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                                             axis=axis, df=df32)
     problem._sharded_pc = pc
     a.apply_dof_remap(halo)
-    shard_assembler(a, device_mesh)
     # padded device-contiguous VERTEX layout: the state fields (u, phi_m,
     # gating) shard over the mesh alongside the solver vectors — the last
-    # replicated piece of the PETSc distributed-vector model
+    # replicated piece of the PETSc distributed-vector model.  The remap
+    # must precede shard_assembler: it reads assembler device arrays back
+    # to the host, which is only possible while they are process-local
+    # (multi-process global arrays are not host-fetchable).
     newpos_v, n_vpad = vertex_padding(vpart, n_devices)
     a.apply_vertex_remap(newpos_v, n_vpad)
+    shard_assembler(a, device_mesh)
     problem._vperm_newpos = newpos_v
     problem._n_vpad = n_vpad
     if df32:

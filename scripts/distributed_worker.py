@@ -71,8 +71,12 @@ def main():
     rep = NamedSharding(dmesh, P())
 
     def conv(x):
-        if isinstance(x, (jax.Array, np.ndarray)):
+        if isinstance(x, jax.Array):
+            if not x.is_fully_addressable:
+                return x   # already global (placed by shard_assembler)
             return shard_global_array(np.asarray(x), rep)
+        if isinstance(x, np.ndarray):
+            return shard_global_array(x, rep)
         return x
 
     bundle = jax.tree.map(conv, step_fn.bundle)
