@@ -175,21 +175,35 @@ class EMIMMS(_SymbolicMMS):
                  sigma_e: float = 1.0, C_M: float = 1.0,
                  exact: str = "sinsin"):
         """exact="sinsin": the reference square_test.py fields (zero on the
-        unit-square boundary).  exact="radial": u = 1 - r^2 about the
-        origin — zero on the UNIT-CIRCLE boundary, so the grounded-exterior
-        Dirichlet BC of the circle geometry (reference
-        EMI/tests/circle_test.py:275-280, which grounds a boundary where
-        its sin·sin exact solution is NOT zero) is consistent and real
-        convergence can be asserted."""
+        unit-square boundary; consistent there because the membrane planes
+        sit on zero-flux lines of sin·sin).  exact="radial": a FULLY
+        CONSISTENT manufactured pair for the circle geometry (membrane ring
+        r_m = 1/2, grounded unit-circle boundary) — the reference's
+        EMI/tests/circle_test.py:275-280 grounds a boundary where its
+        sin·sin solution is NOT zero, so its errors cannot converge; this
+        pair can.  Construction: radial profiles with ZERO normal flux at
+        r_m on both sides (g'(r_m) = h'(r_m) = 0, so current continuity is
+        trivial), h(1) = 0 (grounded BC exact), and a membrane potential
+        v(t) = v0 exp(-t) solving the passive-channel balance
+        C_M dv/dt + v = -sigma_i dui/dn = 0 exactly (C_M = 1):
+
+            g = (r^2 - r_m^2)^2,  h = g - (1 - r_m^2)^2
+            ui = (1 + exp(-t)) g,  ue = exp(-t) h
+        """
         t, xs = self._setup_coords(dim)
         if exact == "radial":
-            s = 1 - sum(c * c for c in xs)
+            r2 = sum(c * c for c in xs)
+            rm2 = sp.Rational(1, 4)
+            g = (r2 - rm2) ** 2
+            h = g - (1 - rm2) ** 2
+            ui = (1 + sp.exp(-t)) * g
+            ue = sp.exp(-t) * h
         else:
             s = sp.sin(2 * sp.pi * xs[0]) * sp.sin(2 * sp.pi * xs[1])
             if dim == 3:
                 s = s * sp.sin(2 * sp.pi * xs[2])
-        ui = s * (1 + sp.exp(-t))
-        ue = s
+            ui = s * (1 + sp.exp(-t))
+            ue = s
         phi_m = ui - ue
 
         def laplacian(f):

@@ -27,7 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
-    " --xla_force_host_platform_device_count=8"
+    " --xla_force_host_platform_device_count=8" \
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600" \
+    " --xla_cpu_collective_call_terminate_timeout_seconds=72000" \
+    " --xla_cpu_collective_timeout_seconds=72000"
+# The collective-timeout overrides matter on a 1-core host: the 8 virtual
+# device threads timeshare one core, so heavy inter-collective segments of
+# a 600k-dof df32 program exceed XLA's default 20 s warn / 40 s terminate
+# rendezvous guard (observed: AllGatherThunk rendezvous F-check killed the
+# first 48^3 run).  On real multi-chip hardware the defaults are fine.
 
 import numpy as np
 import jax

@@ -127,10 +127,15 @@ def test_emi_circle_mms_and_iterative():
             cfg["solver"] = {"direct": False,
                              "ksp_settings": {"ksp_rtol": 1e-10},
                              "output": {}}
+        def phi_m0(p):
+            # ui(0) - ue(0) = 2g - h = g + (1 - r_m^2)^2
+            g = ((p ** 2).sum(-1) - 0.25) ** 2
+            return g + 0.5625
+
         problem = ProblemEMI(cfg, mesh=mesh,
                              source_i=mms.scalar("f_phi_i"),
                              source_e=mms.scalar("f_phi_e"),
-                             phi_m_init_fn=lambda p: 1.0 - (p ** 2).sum(-1))
+                             phi_m_init_fn=phi_m0)
         problem.init_ionic_models([EMIPassiveModel()])
         solver = SolverEMI(problem, cfg["solver"])
         state = solver.solve()
@@ -148,7 +153,10 @@ def test_emi_circle_mms_and_iterative():
     e2, s2 = run(16, 48)
     for f in ("phi_i", "phi_e"):
         r = np.log2(e1[f] / e2[f])
-        assert r > 1.5, f"{f}: {e1[f]:.3e} -> {e2[f]:.3e}, rate {r:.2f}"
+        # observed: phi_i 9.39e-3 -> 2.41e-3 (rate 1.96), phi_e 3.77e-3 ->
+        # 9.66e-4 (rate 1.97); O(h^2), which the reference's own circle
+        # test cannot demonstrate
+        assert r > 1.7, f"{f}: {e1[f]:.3e} -> {e2[f]:.3e}, rate {r:.2f}"
     # iteration bound stays mesh-robust on the circle triangulation
     assert max(s1.iterations + s2.iterations) <= 12, \
         (s1.iterations, s2.iterations)
