@@ -34,7 +34,7 @@ def build_models(problem, config_file: str = ""):
 
 
 def main_yaml(yaml_file: str, resume: str | None = None,
-              mesh=None, dtype=None):
+              mesh=None, dtype=None, overrides: dict | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,6 +45,8 @@ def main_yaml(yaml_file: str, resume: str | None = None,
                                                  KNPEMIState)
 
     cfg = load_config(yaml_file)
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 

@@ -458,8 +458,12 @@ def generate_tissue_geometry(n: int, n_cells: int, seed: int = 0,
         if facet_cells is None:
             raise RuntimeError("tissue tagger needs facet_cells adjacency")
         interior = ~exterior_mask
-        t0 = tags[facet_cells[interior, 0]]
-        t1 = tags[facet_cells[interior, 1]]
+        # the MESH ARGUMENT's own cell tags, not the generator's: the
+        # tagger is re-applied after uniform refinement, where cell tags
+        # are inherited from the parent cells (mesh/refine.py)
+        ct = mesh.cell_tags
+        t0 = ct[facet_cells[interior, 0]]
+        t1 = ct[facet_cells[interior, 1]]
         membrane = (t0 == 1) != (t1 == 1)
         out[np.nonzero(interior)[0][membrane]] = np.maximum(t0, t1)[membrane]
         return out

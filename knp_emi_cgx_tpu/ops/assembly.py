@@ -598,6 +598,7 @@ class KNPEMIAssembler:
         if source_vertex_values:
             for f_idx, vals in source_vertex_values.items():
                 src[f_idx] = vals
+        self.src_np = src   # host copy (flux/budget diagnostics)
         self.src = _dev(src, dtype)
 
         mark("rhs structure + device arrays")
