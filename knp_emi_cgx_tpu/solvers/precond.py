@@ -92,6 +92,86 @@ def _build_blocks(assembler, u0_np):
     return blocks
 
 
+def build_monolithic_precond(assembler, u0_np, joint_phi: bool = False):
+    """Monolithic preconditioner matrix in the monolithic dof ordering.
+
+    joint_phi=False: block_diag of the per-field Benedusi blocks (the
+    reference's block-Jacobi P form).
+
+    joint_phi=True: additionally keeps the CROSS membrane capacitive
+    coupling between phi_i and phi_e — the block-diagonal form drops the
+    -(C_M/F) M_Gamma off-diagonal, which is the DOMINANT coupling on
+    dense-tissue meshes (large membrane area), and iteration counts grow
+    from ~3 (2-cell square) to ~36 (100-cell tissue) because of it.  The
+    joint phi operator
+
+        [[K_i + aM, -aM], [-aM, K_e + aM]],  a = C_M/F
+
+    is symmetric positive semi-definite (conduction plus aM x [[1,-1],
+    [-1,1]]); its near-kernel is per-compartment constants with membrane
+    jumps — exactly the structure the EMI solver already conquers with
+    compartment-split aggregates + 2x2 membrane-pair block smoothing
+    (problems/emi.py, 6-7 iterations).  Returns
+    (Pm csr, components, block_pairs) ready for SmoothedAggregationAMG.
+    """
+    blocks = _build_blocks(assembler, u0_np)
+    sizes = [b.shape[0] for b in blocks]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    assert offsets[-1] == assembler.n_dofs
+    N = assembler.N_ions
+    Pm = sp.block_diag(blocks, format="csr")
+    components = np.repeat(np.arange(len(blocks)), sizes)
+    block_pairs = None
+
+    if joint_phi:
+        topo = assembler.topo
+        mesh = topo.mesh
+        p = assembler.params
+        dim = mesh.dim
+        off_phi = {0: offsets[N], 1: offsets[2 * N + 1]}   # phi_i, phi_e
+        ranks = []
+        for dofs in (topo.intra_dofs, topo.extra_dofs):
+            r = np.full(mesh.num_points, -1, dtype=np.int64)
+            r[dofs] = np.arange(len(dofs))
+            ranks.append(r)
+
+        mverts = topo.membrane_verts
+        Nq, wq = facet_quadrature(dim, degree=10)
+        L_f = facet_geometry(mesh.points, mverts)
+        NN = np.einsum("q,qa,qb->ab", wq, Nq, Nq)
+        fvals = (p.C_M / p.F) * L_f[:, None, None] * NN[None, :, :]
+        gi = off_phi[0] + ranks[0][mverts]                 # [n_mf, nv]
+        ge = off_phi[1] + ranks[1][mverts]
+        R = np.broadcast_to(gi[:, :, None], fvals.shape).ravel()
+        C = np.broadcast_to(ge[:, None, :], fvals.shape).ravel()
+        cross = sp.csr_matrix((-fvals.ravel(), (R, C)),
+                              shape=(assembler.n_dofs, assembler.n_dofs))
+        Pm = (Pm + cross + cross.T).tocsr()
+
+        # phi components: per-biological-cell labels for phi_i, one ECS
+        # label for phi_e (aggregates never span compartments — the
+        # tentative prolongation reproduces every jump mode exactly)
+        comp_v = np.zeros(mesh.num_points, dtype=np.int64)
+        ic = topo.intra_cells
+        comp_v[mesh.cells[ic].ravel()] = np.repeat(
+            np.asarray(mesh.cell_tags)[ic], mesh.cells.shape[1])
+        base = len(blocks)
+        act_i = np.nonzero(ranks[0] >= 0)[0]
+        components[off_phi[0] + ranks[0][act_i]] = base + comp_v[act_i]
+        # (phi_e keeps its own block label — the ECS compartment)
+
+        mv = np.unique(np.asarray(mverts).ravel())
+        d0 = off_phi[0] + ranks[0][mv]
+        d1 = off_phi[1] + ranks[1][mv]
+        ok = (ranks[0][mv] >= 0) & (ranks[1][mv] >= 0)
+        block_pairs = np.stack([d0[ok], d1[ok]], axis=1)
+
+    Pm.sort_indices()
+    # relabel components densely
+    _, components = np.unique(components, return_inverse=True)
+    return Pm, components, block_pairs
+
+
 class BlockDiagonalPreconditioner:
     def __init__(self, assembler, u0, mode: str = "dense", dtype=None,
                  df: bool = False, cache: bool = False):
@@ -101,9 +181,24 @@ class BlockDiagonalPreconditioner:
         recurrence (solvers/df32.py)."""
         dtype = dtype or assembler.dtype
         u0_np = np.asarray(u0, dtype=np.float64)
-        blocks = _build_blocks(assembler, u0_np)
         self.mode = mode
         self.df = df
+        if mode == "amg2":
+            # joint-phi monolithic SA-AMG (see build_monolithic_precond):
+            # ONE V-cycle over the whole vector, keeping the membrane
+            # capacitive coupling that block-diagonal P drops — the
+            # tissue-scale iteration-count fix
+            from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
+
+            Pm, components, pairs = build_monolithic_precond(
+                assembler, u0_np, joint_phi=True)
+            self._joint = SmoothedAggregationAMG(
+                Pm, dtype=dtype, df=df, cache=cache,
+                components=components, block_pairs=pairs,
+                per_component_lam=True)
+            self.apply_blocks = []
+            return
+        blocks = _build_blocks(assembler, u0_np)
         self.sizes = [b.shape[0] for b in blocks]
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         assert self.offsets[-1] == assembler.n_dofs
@@ -161,6 +256,8 @@ class BlockDiagonalPreconditioner:
 
     # -- device-array bundling (see utils/devicestate.py) --
     def device_state(self):
+        if self.mode == "amg2":
+            return self._joint.device_state()
         out = []
         for kind, data in self.apply_blocks:
             if kind == "dense":
@@ -173,6 +270,8 @@ class BlockDiagonalPreconditioner:
         return out
 
     def install(self, st):
+        if self.mode == "amg2":
+            return self._joint.install(st)
         old = []
         new_blocks = []
         for (kind, data), d in zip(self.apply_blocks, st):
@@ -191,6 +290,8 @@ class BlockDiagonalPreconditioner:
         return old
 
     def __call__(self, r):
+        if self.mode == "amg2":
+            return self._joint(r)
         outs = []
         for i, (kind, data) in enumerate(self.apply_blocks):
             seg = r[self.offsets[i]:self.offsets[i + 1]]
@@ -208,6 +309,8 @@ class BlockDiagonalPreconditioner:
         production-tolerance GMRES without stalling its recurrence."""
         from knp_emi_cgx_tpu.solvers.df32 import dense_mv_df
 
+        if self.mode == "amg2":
+            return self._joint.apply_df(rh, rl)
         outs_h, outs_l = [], []
         for i, (kind, data) in enumerate(self.apply_blocks):
             sh = rh[self.offsets[i]:self.offsets[i + 1]]
