@@ -227,7 +227,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               precision: str = "auto",
                               pc_mode: str = "chebyshev",
                               mesh_spec: str | None = None,
-                              cache: bool = False):
+                              cache: bool = False,
+                              coarse_on_device0: bool = False):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -307,7 +308,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
         from knp_emi_cgx_tpu.parallel.sharded_amg import ShardedAMG
 
         pc = ShardedAMG(a, problem._u0_np, dof_part, device_mesh,
-                        axis=axis, df=df32, cache=cache)
+                        axis=axis, df=df32, cache=cache,
+                        coarse_on_device0=coarse_on_device0)
     else:
         pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
                                             device_mesh, iters=cheb_iters,

@@ -120,7 +120,8 @@ class ShardedAMG:
 
     def __init__(self, assembler, u0, dof_part, device_mesh: Mesh,
                  axis: str = "cells", df: bool = False, cache: bool = False,
-                 smooth_iters: int = 2, **amg_kwargs):
+                 smooth_iters: int = 2, coarse_on_device0: bool = False,
+                 **amg_kwargs):
         dtype = assembler.dtype
         n = assembler.n_dofs
         n_dev = device_mesh.devices.size
@@ -169,6 +170,14 @@ class ShardedAMG:
             "amg": amg.device_state(),
         }
 
+        # coarse_on_device0: run the replicated coarse hierarchy on device 0
+        # only (lax.cond on the axis index) and broadcast the correction
+        # with one psum.  On REAL multi-chip hardware replicated compute is
+        # free (all chips run in parallel) and this flag should stay off;
+        # on a 1-core virtual mesh the 8 device threads SERIALIZE, so the
+        # replicated level-1 work costs 8x and dominates the V-cycle
+        # (measured 37 s/apply at 603k dofs; the flag removes 7/8 of it).
+        self.coarse_on_device0 = bool(coarse_on_device0)
         self._single_level = not amg.levels[0].has_P
         if not self._single_level:
             p_cols, p_vals, r_cols, r_vals = _transfer_ells(
@@ -180,6 +189,8 @@ class ShardedAMG:
             state["r_vals"] = jnp.asarray(r_vals.astype(npdt))
             self._nc = r_cols.shape[2]
             self._build_transfer_fns(device_mesh, n_dev)
+            if self.coarse_on_device0:
+                self._build_coarse_fns(device_mesh)
 
         if df:
             self._matvec_df, mv_df = halo.make_matvec_df_fn(device_mesh,
@@ -252,6 +263,52 @@ class ShardedAMG:
             out_specs=(P(axis, None), P(axis, None)))
 
     # ------------------------------------------------------------------
+    def _build_coarse_fns(self, device_mesh):
+        axis = self.axis
+        amg = self.amg
+
+        def local_coarse(st_amg, rc):
+            old = amg.install(st_amg)
+            try:
+                out = jax.lax.cond(
+                    jax.lax.axis_index(axis) == 0,
+                    lambda _: amg._cycle(1, rc),
+                    lambda _: jnp.zeros_like(rc), None)
+                return jax.lax.psum(out, axis)
+            finally:
+                amg.install(old)
+
+        self._coarse0 = jax.shard_map(
+            local_coarse, mesh=device_mesh, in_specs=(P(), P()),
+            out_specs=P())
+
+        def local_coarse_df(st_amg, rch, rcl):
+            old = amg.install(st_amg)
+            try:
+                out = jax.lax.cond(
+                    jax.lax.axis_index(axis) == 0,
+                    lambda _: jnp.stack(amg._cycle_df(1, rch, rcl)),
+                    lambda _: jnp.zeros((2,) + rch.shape, rch.dtype), None)
+                s = jax.lax.psum(out, axis)
+                return s[0], s[1]
+            finally:
+                amg.install(old)
+
+        self._coarse0_df = jax.shard_map(
+            local_coarse_df, mesh=device_mesh, in_specs=(P(), P(), P()),
+            out_specs=(P(), P()))
+
+    def _coarse_cycle(self, st, rc):
+        if self.coarse_on_device0:
+            return self._coarse0(st["amg"], rc)
+        return self.amg._cycle(1, rc)
+
+    def _coarse_cycle_df(self, st, rch, rcl):
+        if self.coarse_on_device0:
+            return self._coarse0_df(st["amg"], rch, rcl)
+        return self.amg._cycle_df(1, rch, rcl)
+
+    # ------------------------------------------------------------------
     def _smooth0(self, st, x, r):
         for it in range(self.smooth_iters):
             w = st["w1"] if it % 2 == 0 else st["w2"]
@@ -270,7 +327,7 @@ class ShardedAMG:
         resid = r - self._matvec(st["mv"], st["Avals"], x)
         rc = self._restrict(st["r_vals"], st["r_cols"],
                             resid.reshape(n_dev, -1))
-        xc = self.amg._cycle(1, rc)
+        xc = self._coarse_cycle(st, rc)
         x = x + self._prolong(st["p_vals"], st["p_cols"], xc).reshape(-1)
         return self._smooth0(st, x, r)
 
@@ -304,7 +361,7 @@ class ShardedAMG:
         rch, rcl = self._restrict_df(st["r_vals_f"], st["r_cols"],
                                      resh.reshape(n_dev, -1),
                                      resl.reshape(n_dev, -1))
-        xch, xcl = self.amg._cycle_df(1, rch, rcl)
+        xch, xcl = self._coarse_cycle_df(st, rch, rcl)
         eh, el = self._prolong_df(st["p_vals_f"], st["p_cols"], xch, xcl)
         xh, xl = df_add(xh, xl, eh.reshape(-1), el.reshape(-1))
         return self._smooth0_df(st, xh, xl, rh, rl)

@@ -317,7 +317,7 @@ class SmoothedAggregationAMG:
                 np.asarray(block_pairs, dtype=np.int64), A.shape[0])
 
         host_levels = []
-        for _ in range(max_levels):
+        for level in range(max_levels):
             Binv = _block_dinv(A, pairs)
             if per_component_lam:
                 lam = _lam_max_per_component(A, comp, Binv)
@@ -328,7 +328,14 @@ class SmoothedAggregationAMG:
                 self.levels.append(AMGLevel(A, None, lam, dtype, df=df,
                                             Binv=Binv))
                 break
-            C = _strength_graph(A, theta)
+            # theta filters ONLY the finest level: Galerkin coarse operators
+            # are dense-ish with smoothly varying entries, and filtering
+            # them strands most nodes as singletons — observed at 48^3
+            # tissue: level-1 -> level-2 coarsened only 2.1x and the
+            # level-2 operator came out DENSER than level 1 (1305 max
+            # nnz/row), dominating the whole V-cycle.  Keeping every
+            # off-diagonal on coarse levels is standard SA practice.
+            C = _strength_graph(A, theta if level == 0 else 0.0)
             agg = _aggregate(C if C.nnz else sp.csr_matrix(A.shape))
             if comp is not None:
                 # split every aggregate at component boundaries; relabel

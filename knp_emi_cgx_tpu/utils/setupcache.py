@@ -18,7 +18,9 @@ import os
 import numpy as np
 import scipy.sparse as sp
 
-_VERSION = 1   # bump to invalidate all entries on algorithm changes
+_VERSION = 2   # bump to invalidate all entries on algorithm changes
+# v2: coarse-level strength filtering removed (theta applies to the finest
+# level only) — hierarchies built by v1 coarsen pathologically at scale
 
 
 def cache_dir() -> str:

@@ -79,7 +79,8 @@ def main():
     problem, state, step, dmesh, halo = build_dof_sharded_problem(
         args.devices, devices=devices, config=args.config, mesh_spec=spec,
         precision=args.precision, pc_mode=args.pc, rtol=args.rtol,
-        restart=args.restart, cache=True)
+        restart=args.restart, cache=True,
+        coarse_on_device0=(args.platform == "cpu"))
     setup_s = time.perf_counter() - tic
     a = problem.assembler
     n_dofs = a.n_dofs
