@@ -1,0 +1,153 @@
+"""Production-envelope 50-step completion on the UNSHARDED df32 path.
+
+Companion to scripts/run_production.py (the dof-sharded variant).  On the
+1-core build host the 8 virtual CPU devices serialize and the sharded df32
+step costs ~45 s per Krylov iteration at 603k dofs (measured — see
+PERF.md round-3 notes), which makes a 50-step sharded completion a ~20 h
+job; the same physics, solver, preconditioner and rtol-1e-9 df32
+certification run ~5x faster unsharded on one device.  This script
+completes the >=5e5-dof, >=50-step, neuron+glia, rtol-1e-9 demonstration
+(VERDICT r2 #1) on that path and records everything run_production.py
+records; the dof-sharded path is separately recorded end-to-end at the
+same scale for a shorter step count (run_production.py --steps N).
+
+Flushes a partial JSON after every step so progress survives interruption.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=48)
+    ap.add_argument("--cells", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--rtol", type=float, default=1e-9)
+    ap.add_argument("--restart", type=int, default=30)
+    ap.add_argument("--pc", default="amg")
+    ap.add_argument("--config", default="configs/tissue/5m_100c.yaml")
+    ap.add_argument("--out", default="output/production_unsharded.json")
+    args = ap.parse_args()
+
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import jax.numpy as jnp
+
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.main import build_models
+    from knp_emi_cgx_tpu.mesh.generation import geometry_from_spec
+    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
+
+    spec = f"tissue{args.mesh}x{args.cells}c"
+    cfg = load_config(args.config)
+    cfg.solver_config = {"direct": False,
+                         "ksp_settings": {"ksp_rtol": args.rtol,
+                                          "pc_mode": args.pc,
+                                          "precision": "df32",
+                                          "restart": args.restart,
+                                          "setup_cache": True}}
+    print(f"[setup] {spec} unsharded df32 {args.pc} rtol={args.rtol}",
+          flush=True)
+    tic = time.perf_counter()
+    mesh, tagger = geometry_from_spec(spec)
+    mesh._facet_tagger = tagger
+    problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=jnp.float32)
+    problem.init_ionic_models(build_models(problem))
+    solver = SolverKNPEMI(problem, cfg.solver_config)
+    state = problem.initial_state()
+    state = state._replace(x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
+    setup_s = time.perf_counter() - tic
+    a = problem.assembler
+    n_dofs = a.n_dofs
+    print(f"[setup] n_dofs={n_dofs}, {setup_s:.1f} s", flush=True)
+    step = solver._build_step(state)
+
+    cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
+    its_series, times = [], []
+    prev_state = None
+    result = {"spec": spec, "n_dofs": int(n_dofs), "devices": 1,
+              "precision": "df32", "pc": args.pc, "rtol": args.rtol,
+              "glia_tags": len(cfg.glia_tags),
+              "setup_seconds": round(setup_s, 1),
+              "conservation_initial": cons0, "platform": "cpu-unsharded"}
+
+    def flush(partial=True):
+        result["steps_completed"] = len(its_series)
+        result["iterations"] = its_series
+        if its_series:
+            result["iterations_mean"] = round(float(np.mean(its_series)), 2)
+        if times:
+            result["sec_per_step_warm"] = round(float(np.mean(times)), 2)
+        result["partial"] = partial
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+    for i in range(1, args.steps + 1):
+        tic = time.perf_counter()
+        if i == args.steps:
+            prev_state = state
+        state, its = step(state)
+        jax.block_until_ready(state)
+        dt_s = time.perf_counter() - tic
+        its_series.append(int(its))
+        if i == 1:
+            result["first_step_seconds"] = round(dt_s, 1)
+        else:
+            times.append(dt_s)
+        phi_max = float(jnp.max(jnp.abs(state.phi_m)))
+        print(f"[run] step {i}/{args.steps}: {int(its)} its, {dt_s:.1f} s, "
+              f"max|phi_m|={phi_max:.4e}", flush=True)
+        assert np.isfinite(phi_max), f"non-finite at step {i}"
+        flush()
+
+    consN = {k: float(v) for k, v in problem.conservation(state).items()}
+    result["conservation_final"] = consN
+    result["conservation_rel_drift"] = {
+        k: abs(consN[k] - cons0[k]) / abs(cons0[k]) for k in cons0}
+    result["l2_norms"] = {k: float(v)
+                          for k, v in problem.l2_norms(state).items()}
+
+    # certify the real f64 preconditioned residual of the FINAL solve
+    from knp_emi_cgx_tpu.solvers.df32 import (EllMatrix, df_from_f64,
+                                              df_to_f64, repaired_ell_values)
+
+    pc = solver._pc
+    ell = solver._ell
+    gates = {"n": state.n, "m": state.m, "h": state.h}
+    vals, b = a.assemble(prev_state.u, prev_state.phi_m, gates, state.t)
+    ell_h, ell_l = repaired_ell_values(ell, vals, a.phi_col_mask,
+                                       a.phi_repair_slots)
+    mask = (a.nullspace_np != 0).astype(np.float64)
+    nsv = mask / np.linalg.norm(mask)
+
+    def proj(v):
+        return v - nsv * (nsv @ v)
+
+    yh, yl = ell.matvec_df2(ell_h, ell_l, state.x[0], state.x[1])
+    r = proj(np.asarray(b, np.float64) - np.asarray(df_to_f64(yh, yl)))
+    Mr = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(r))))))
+    bp = proj(np.asarray(b, np.float64))
+    Mb = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(bp))))))
+    rel = float(np.linalg.norm(Mr) / np.linalg.norm(Mb))
+    result["final_real_precond_residual"] = rel
+    print(f"[cert] real f64 preconditioned residual: {rel:.3e}", flush=True)
+    flush(partial=False)
+    print(f"[done] wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
