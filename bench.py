@@ -57,6 +57,9 @@ WARMUP = 3
 STEPS = 50
 RTOL = 1e-9
 BASELINE_US_PER_DOF_STEP = 5.94
+# preconditioner A/B knob (amg = per-block SA-AMG; amg2 = joint-phi
+# monolithic SA-AMG keeping the membrane capacitive cross-coupling)
+PC_MODE = os.environ.get("BENCH_PC", "amg")
 
 
 def main():
@@ -76,7 +79,7 @@ def main():
     cfg.stimulus_tags = (5,)
     cfg.solver_config = {"direct": False,
                          "ksp_settings": {"ksp_rtol": RTOL,
-                                          "pc_mode": "amg",
+                                          "pc_mode": PC_MODE,
                                           "precision": "df32"}}
 
     tic = time.perf_counter()
@@ -125,6 +128,7 @@ def main():
             "gmres_iterations_mean": round(sum(its_np) / len(its_np), 2),
             "gmres_iterations_max": max(its_np),
             "rtol": RTOL,
+            "pc": PC_MODE,
             "criterion": "preconditioned norm (PETSc KSP semantics), "
                          "df32 compensated solve",
             "setup_seconds": round(setup_s, 2),

@@ -157,10 +157,14 @@ class ShardedChebyshevPreconditioner:
             # compensated application path: same Chebyshev polynomial, df32
             # vector arithmetic + per-device ELL tree-reduction matvecs —
             # a FIXED linear operator to ~2^-48, as the df32 Krylov
-            # recurrence requires (an f32-noisy preconditioner stalls it)
-            self._matvec_df, mv_df_arrays = halo.make_matvec_df_fn(
-                device_mesh, repair=False)
+            # recurrence requires (an f32-noisy preconditioner stalls it).
+            # The operator is STATIC, so its ELL values are gathered ONCE
+            # here; the hot-loop matvec skips the per-call gather.
+            self._matvec_df, mv_df_arrays = halo.make_matvec_df_ell_fn(
+                device_mesh, with_lo=False)
             self._state["mv_df"] = mv_df_arrays
+            self._state["pvals_ell"] = jnp.asarray(
+                halo.ell_values_np(np.asarray(Pm.data, dtype=np.float32)))
 
     def apply_df(self, rh, rl):
         from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32,
@@ -170,7 +174,7 @@ class ShardedChebyshevPreconditioner:
         f32 = jnp.float32
         dinv = st["dinv"].astype(f32)
         lam = st["lam"].astype(f32)
-        pvals = st["pvals"].astype(f32)
+        pvals_ell = st["pvals_ell"]
         lmax = 1.1 * lam
         lmin = jnp.float32(self.lam_min_frac) * lam
         theta = 0.5 * (lmax + lmin)
@@ -181,7 +185,7 @@ class ShardedChebyshevPreconditioner:
         dh, dl = df_scale_f32(rh, rl, dinv / theta)
         for _ in range(self.iters):
             xh, xl = df_add(xh, xl, dh, dl)
-            mh, ml = self._matvec_df(st["mv_df"], pvals, xh, xl)
+            mh, ml = self._matvec_df(st["mv_df"], pvals_ell, xh, xl)
             rrh, rrl = df_add(rh, rl, -mh, -ml)
             rho_new = 1.0 / (2.0 * sigma - rho)
             t1h, t1l = df_scale_f32(dh, dl, rho_new * rho)
@@ -228,7 +232,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               pc_mode: str = "chebyshev",
                               mesh_spec: str | None = None,
                               cache: bool = False,
-                              coarse_on_device0: bool = False):
+                              coarse_on_device0: bool = False,
+                              amg_shard_levels: int = 1):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -309,7 +314,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
 
         pc = ShardedAMG(a, problem._u0_np, dof_part, device_mesh,
                         axis=axis, df=df32, cache=cache,
-                        coarse_on_device0=coarse_on_device0)
+                        coarse_on_device0=coarse_on_device0,
+                        shard_levels=amg_shard_levels)
     else:
         pc = ShardedChebyshevPreconditioner(a, problem._u0_np, dof_part,
                                             device_mesh, iters=cheb_iters,
@@ -327,21 +333,28 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     shard_assembler(a, device_mesh)
     problem._vperm_newpos = newpos_v
     problem._n_vpad = n_vpad
+    ell_fn = None
     if df32:
-        matvec_A, mvA_arrays = halo.make_matvec_df_fn(
+        # system matvec over PRECOMPUTED repaired ELL values: the value
+        # gather + nullspace-repair row sums run once per assembled
+        # operator (make_ell_df_fn in the step), not per Krylov iteration
+        matvec_A, mvA_arrays = halo.make_matvec_df_ell_fn(
+            device_mesh, with_lo=True)
+        ell_fn, ev_arrays = halo.make_ell_df_fn(
             device_mesh, repair=not a.has_bcs)
         if not a.has_bcs:
             onehot, phimask = halo.ell_repair_onehot(
                 a.phi_repair_slots_np, a.phi_col_mask_np)
-            mvA_arrays = dict(mvA_arrays,
-                              repair_onehot=onehot, phi_mask_ell=phimask)
+            ev_arrays = dict(ev_arrays,
+                             repair_onehot=onehot, phi_mask_ell=phimask)
+        mvA_arrays = dict(mvA_arrays, ev=ev_arrays)
     else:
         matvec_A, mvA_arrays = halo.make_matvec_fn(device_mesh)
 
     step_fn = _build_sharded_step(problem, pc, halo, device_mesh,
                                   matvec_A, mvA_arrays,
                                   rtol=rtol, restart=restart, axis=axis,
-                                  df32=df32)
+                                  df32=df32, ell_fn=ell_fn)
 
     # pad + shard EVERYTHING: the warm-start vector over the dof layout,
     # the state fields over the vertex layout.  shard_global_array is the
@@ -382,7 +395,7 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
 
 def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
                         rtol: float, restart: int, axis: str,
-                        df32: bool = False):
+                        df32: bool = False, ell_fn=None):
     from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
                                                forward_euler_update)
     from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
@@ -451,8 +464,9 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
             if df32:
                 from knp_emi_cgx_tpu.solvers.df32 import gmres_df32
 
+                eh, el = ell_fn(mv["ev"], vals_sh)
                 res = gmres_df32(
-                    lambda xh, xl: matvec_A(mv, vals_sh, xh, xl),
+                    lambda xh, xl: matvec_A(mv, eh, el, xh, xl),
                     b, state.x[0], state.x[1],
                     M=pc.apply_df,
                     nullspace_df=bundle.get("ns_df"),

@@ -217,8 +217,23 @@ class HaloSpMV:
             "mask": jnp.asarray(ell_mask),
             "cols": jnp.asarray(ell_cols),
             "pos_of_np": ellpos_of,
+            "gather_np": ell_gather,
+            "mask_np": ell_mask,
         }
         return self._ell
+
+    def ell_values_np(self, vals_np: np.ndarray) -> np.ndarray:
+        """Host-side per-device ELL values [n_dev, w, rows_per] from values
+        in the original CSR order (1-D) or the padded layout [n_dev,
+        max_nnz].  Setup path for STATIC operators (preconditioners): the
+        hot loop then skips the per-call value gather entirely."""
+        ell = self._build_ell()
+        v = vals_np if vals_np.ndim == 2 else self.shard_values_np(vals_np)
+        n_dev = self.n_devices
+        out = np.take_along_axis(v, ell["gather_np"].reshape(n_dev, -1),
+                                 axis=1)
+        return (out.reshape(ell["gather_np"].shape)
+                * ell["mask_np"].astype(v.dtype))
 
     def ell_repair_onehot(self, repair_slots_padded, phi_col_mask_vals):
         """Static arrays for the in-matvec nullspace repair (the sharded
@@ -313,6 +328,120 @@ class HaloSpMV:
                         xl.reshape(n_dev, rows_per),
                         *arrays["send"])
             return yh.reshape(-1), yl.reshape(-1)
+
+        return matvec, arrays
+
+    def make_ell_df_fn(self, device_mesh: Mesh, repair: bool = False):
+        """Per-solve ELL value precompute: (arrays, vals_shards) ->
+        (ell_h, ell_l), both [n_dev, w, rows_per], sharded.
+
+        The sharded analog of `solvers.df32.repaired_ell_values`: the value
+        gather and (with repair=True) the nullspace-repair row sums are
+        computed ONCE per assembled operator instead of inside every matvec
+        — pair with `make_matvec_df_ell_fn`.  Bit-identical results: the
+        same ops run on the same data, just hoisted out of the Krylov loop.
+        """
+        from knp_emi_cgx_tpu.solvers.df32 import df_from_f32, df_sum
+
+        ell = self._build_ell()
+        axis = self.axis
+        n_dev = self.n_devices
+
+        def local_vals(vals_blk, gather_blk, mask_blk, rep_blk, phim_blk):
+            ell_h = vals_blk[0][gather_blk[0]] * mask_blk[0]  # [w, rows_per]
+            if repair:
+                sh, sl = df_sum(*df_from_f32(ell_h * phim_blk[0]), axis=0)
+                rowsum = sh + sl
+                ell_l = -rowsum[None, :] * rep_blk[0]
+            else:
+                ell_l = jnp.zeros_like(ell_h)
+            return ell_h[None], ell_l[None]
+
+        spec3 = P(axis, None, None)
+        fn = jax.shard_map(local_vals, mesh=device_mesh,
+                           in_specs=(P(axis, None), spec3, spec3, spec3,
+                                     spec3),
+                           out_specs=(spec3, spec3))
+
+        dummy = jnp.zeros((n_dev, 1, 1), dtype=jnp.float32)
+        arrays = {"gather": ell["gather"], "mask": ell["mask"],
+                  "repair_onehot": dummy, "phi_mask_ell": dummy}
+
+        def ell_values(arrays, vals_shards):
+            return fn(vals_shards, arrays["gather"], arrays["mask"],
+                      arrays["repair_onehot"], arrays["phi_mask_ell"])
+
+        return ell_values, arrays
+
+    def make_matvec_df_ell_fn(self, device_mesh: Mesh, with_lo: bool = True):
+        """Compensated halo matvec over PRECOMPUTED ELL values.
+
+        with_lo=True:  matvec(arrays, ell_h, ell_l, xh, xl) — df32 operator
+        values (nullspace-repaired system matrices, `make_ell_df_fn`).
+        with_lo=False: matvec(arrays, ell_h, xh, xl) — plain f32 values
+        (static preconditioner operators, `ell_values_np`).
+
+        Saves the per-call value gather (+ repair row sums) of
+        `make_matvec_df_fn` — ~2x on the system matvec at tissue scale.
+        """
+        from knp_emi_cgx_tpu.solvers.df32 import (df_mul, df_scale_f32,
+                                                  df_sum)
+
+        ell = self._build_ell()
+        axis = self.axis
+        rows_per = self.rows_per
+        deltas = self.deltas
+        n_dev = self.n_devices
+
+        def local_mv(ellh_blk, elll_blk, cols_blk, xh_blk, xl_blk,
+                     *send_blks):
+            xh_own, xl_own = xh_blk[0], xl_blk[0]
+            parts_h, parts_l = [xh_own], [xl_own]
+            for delta, sidx in zip(deltas, send_blks):
+                payload = jnp.stack([xh_own[sidx[0]], xl_own[sidx[0]]])
+                perm = [(i, (i - delta) % n_dev) for i in range(n_dev)]
+                received = jax.lax.ppermute(payload, axis, perm)
+                parts_h.append(received[0])
+                parts_l.append(received[1])
+            xh_ext = jnp.concatenate(parts_h)
+            xl_ext = jnp.concatenate(parts_l)
+            gxh = xh_ext[cols_blk[0]]
+            gxl = xl_ext[cols_blk[0]]
+            if with_lo:
+                ph, pl = df_mul(ellh_blk[0], elll_blk[0], gxh, gxl)
+            else:
+                ph, pl = df_scale_f32(gxh, gxl, ellh_blk[0])
+            yh, yl = df_sum(ph, pl, axis=0)
+            return yh[None], yl[None]
+
+        spec3 = P(axis, None, None)
+        in_specs = [spec3] * (3 if with_lo else 2) \
+            + [P(axis, None)] * 2 + [P(axis, None)] * len(deltas)
+        if not with_lo:
+            def wrapped(ellh, cols, xh, xl, *send):
+                return local_mv(ellh, None, cols, xh, xl, *send)
+            body = wrapped
+        else:
+            body = local_mv
+        mv = jax.shard_map(body, mesh=device_mesh,
+                           in_specs=tuple(in_specs),
+                           out_specs=(P(axis, None), P(axis, None)))
+
+        arrays = {"cols": ell["cols"],
+                  "send": tuple(self.send_idx[d] for d in deltas)}
+
+        if with_lo:
+            def matvec(arrays, ell_h, ell_l, xh, xl):
+                yh, yl = mv(ell_h, ell_l, arrays["cols"],
+                            xh.reshape(n_dev, rows_per),
+                            xl.reshape(n_dev, rows_per), *arrays["send"])
+                return yh.reshape(-1), yl.reshape(-1)
+        else:
+            def matvec(arrays, ell_h, xh, xl):
+                yh, yl = mv(ell_h, arrays["cols"],
+                            xh.reshape(n_dev, rows_per),
+                            xl.reshape(n_dev, rows_per), *arrays["send"])
+                return yh.reshape(-1), yl.reshape(-1)
 
         return matvec, arrays
 

@@ -121,7 +121,7 @@ class ShardedAMG:
     def __init__(self, assembler, u0, dof_part, device_mesh: Mesh,
                  axis: str = "cells", df: bool = False, cache: bool = False,
                  smooth_iters: int = 2, coarse_on_device0: bool = False,
-                 **amg_kwargs):
+                 shard_levels: int = 1, **amg_kwargs):
         dtype = assembler.dtype
         n = assembler.n_dofs
         n_dev = device_mesh.devices.size
@@ -178,6 +178,8 @@ class ShardedAMG:
         # replicated level-1 work costs 8x and dominates the V-cycle
         # (measured 37 s/apply at 603k dofs; the flag removes 7/8 of it).
         self.coarse_on_device0 = bool(coarse_on_device0)
+        self._coarse0_k = {}
+        self._coarse0_df_k = {}
         self._single_level = not amg.levels[0].has_P
         if not self._single_level:
             p_cols, p_vals, r_cols, r_vals = _transfer_ells(
@@ -193,11 +195,13 @@ class ShardedAMG:
                 self._build_coarse_fns(device_mesh)
 
         if df:
-            self._matvec_df, mv_df = halo.make_matvec_df_fn(device_mesh,
-                                                            repair=False)
+            # static operator: ELL values gathered once at setup, hot-loop
+            # matvecs skip the per-call gather (make_matvec_df_ell_fn)
+            self._matvec_df, mv_df = halo.make_matvec_df_ell_fn(
+                device_mesh, with_lo=False)
             state["mv_df"] = mv_df
             state["Avals_f"] = jnp.asarray(
-                halo.shard_values_np(np.asarray(A0.data, dtype=np.float32)))
+                halo.ell_values_np(np.asarray(A0.data, dtype=np.float32)))
             dinv_f = dinv_pad.astype(np.float32)
             state["wd1"] = jnp.asarray(
                 (1.0 / (0.7 * lam_pad)).astype(np.float32) * dinv_f)
@@ -206,6 +210,20 @@ class ShardedAMG:
             if not self._single_level:
                 state["p_vals_f"] = jnp.asarray(p_vals.astype(np.float32))
                 state["r_vals_f"] = jnp.asarray(r_vals.astype(np.float32))
+
+        # shard_levels=2: shard LEVEL 1 as well (the remaining ~50% of the
+        # V-cycle after the coarsening fix), agglomerating only from level 2
+        # — the hierarchy is then pod-scalable: replicated work shrinks to
+        # the ~1k-dof tail.  Opt-in; shard_levels=1 keeps the proven path.
+        self.shard_levels = 1
+        if (shard_levels >= 2 and not self._single_level
+                and self.amg.levels[1].has_P):
+            A1, P1, B1, lam1 = amg.host_levels[1]
+            if (B1 - sp.diags(B1.diagonal())).nnz == 0:
+                self._setup_level1(A1, P1.tocsr(), B1, lam1, P0.tocsr(),
+                                   np.asarray(dof_part), device_mesh,
+                                   n_dev, npdt, df, state)
+                self.shard_levels = 2
         self._state = state
 
     # ------------------------------------------------------------------
@@ -263,7 +281,9 @@ class ShardedAMG:
             out_specs=(P(axis, None), P(axis, None)))
 
     # ------------------------------------------------------------------
-    def _build_coarse_fns(self, device_mesh):
+    def _build_coarse_fns(self, device_mesh, k: int = 1):
+        """Device-0-only replicated-tail cycle starting at hierarchy level
+        k (lax.cond on the axis index + one psum broadcast)."""
         axis = self.axis
         amg = self.amg
 
@@ -272,13 +292,13 @@ class ShardedAMG:
             try:
                 out = jax.lax.cond(
                     jax.lax.axis_index(axis) == 0,
-                    lambda _: amg._cycle(1, rc),
+                    lambda _: amg._cycle(k, rc),
                     lambda _: jnp.zeros_like(rc), None)
                 return jax.lax.psum(out, axis)
             finally:
                 amg.install(old)
 
-        self._coarse0 = jax.shard_map(
+        self._coarse0_k[k] = jax.shard_map(
             local_coarse, mesh=device_mesh, in_specs=(P(), P()),
             out_specs=P())
 
@@ -287,34 +307,123 @@ class ShardedAMG:
             try:
                 out = jax.lax.cond(
                     jax.lax.axis_index(axis) == 0,
-                    lambda _: jnp.stack(amg._cycle_df(1, rch, rcl)),
+                    lambda _: jnp.stack(amg._cycle_df(k, rch, rcl)),
                     lambda _: jnp.zeros((2,) + rch.shape, rch.dtype), None)
                 s = jax.lax.psum(out, axis)
                 return s[0], s[1]
             finally:
                 amg.install(old)
 
-        self._coarse0_df = jax.shard_map(
+        self._coarse0_df_k[k] = jax.shard_map(
             local_coarse_df, mesh=device_mesh, in_specs=(P(), P(), P()),
             out_specs=(P(), P()))
 
-    def _coarse_cycle(self, st, rc):
+    def _coarse_cycle(self, st, rc, k: int = 1):
         if self.coarse_on_device0:
-            return self._coarse0(st["amg"], rc)
-        return self.amg._cycle(1, rc)
+            return self._coarse0_k[k](st["amg"], rc)
+        return self.amg._cycle(k, rc)
 
-    def _coarse_cycle_df(self, st, rch, rcl):
+    def _coarse_cycle_df(self, st, rch, rcl, k: int = 1):
         if self.coarse_on_device0:
-            return self._coarse0_df(st["amg"], rch, rcl)
-        return self.amg._cycle_df(1, rch, rcl)
+            return self._coarse0_df_k[k](st["amg"], rch, rcl)
+        return self.amg._cycle_df(k, rch, rcl)
 
     # ------------------------------------------------------------------
-    def _smooth0(self, st, x, r):
+    def _setup_level1(self, A1, P1, B1, lam1, P0, dof_part, device_mesh,
+                      n_dev, npdt, df, state):
+        """Shard hierarchy level 1: its own halo plan over a coarse-dof
+        partition (each coarse dof owned by the device holding the
+        plurality of its fine rows — aggregate locality makes this cheap),
+        sharded smoothing, and level-1<->2 transfers in the same per-device
+        ELL form as level 0's."""
+        n1 = A1.shape[0]
+        coo = P0.tocoo()
+        dev = dof_part[coo.row]
+        cnt = np.bincount(coo.col.astype(np.int64) * n_dev + dev,
+                          minlength=n1 * n_dev).reshape(n1, n_dev)
+        part1 = cnt.argmax(axis=1).astype(np.int32)
+        halo1 = HaloSpMV(A1.indptr, A1.indices, n1, n_dev,
+                         axis=self.axis, part=part1)
+        self.halo1 = halo1
+        self._matvec1, mv1 = halo1.make_matvec_fn(device_mesh)
+
+        lam_vec1 = np.broadcast_to(np.asarray(lam1, dtype=np.float64),
+                                   (n1,)).copy()
+        dinv1 = np.asarray(B1.diagonal())
+
+        def pad1(v, fill=0.0):
+            out = np.full(halo1.n_padded, fill)
+            out[halo1.newpos] = v
+            return out
+
+        lam_pad1 = pad1(lam_vec1, fill=1.0)
+        dinv_pad1 = pad1(dinv1)
+        # replicated [n1] coarse vector <-> padded level-1 layout maps
+        pos_to_orig = np.zeros(halo1.n_padded, dtype=np.int64)
+        mask1 = np.zeros(halo1.n_padded)
+        pos_to_orig[halo1.newpos] = np.arange(n1)
+        mask1[halo1.newpos] = 1.0
+
+        p_cols1, p_vals1, r_cols1, r_vals1 = _transfer_ells(
+            P1, part1, halo1.newpos, halo1.rows_per, n_dev)
+        state.update({
+            "Avals_l1": jnp.asarray(
+                halo1.shard_values_np(np.asarray(A1.data, dtype=npdt))),
+            "dinv_l1": jnp.asarray(dinv_pad1.astype(npdt)),
+            "w1_l1": jnp.asarray((1.0 / (0.7 * lam_pad1)).astype(npdt)),
+            "w2_l1": jnp.asarray((1.0 / (1.1 * lam_pad1)).astype(npdt)),
+            "mv_l1": mv1,
+            "pos_l1": jnp.asarray(pos_to_orig.astype(np.int32)),
+            "mask_l1": jnp.asarray(mask1.astype(npdt)),
+            "newpos_l1": jnp.asarray(halo1.newpos.astype(np.int32)),
+            "p_cols_l1": jnp.asarray(p_cols1),
+            "p_vals_l1": jnp.asarray(p_vals1.astype(npdt)),
+            "r_cols_l1": jnp.asarray(r_cols1),
+            "r_vals_l1": jnp.asarray(r_vals1.astype(npdt)),
+        })
+        if df:
+            self._matvec_df1, mv_df1 = halo1.make_matvec_df_ell_fn(
+                device_mesh, with_lo=False)
+            dinv1_f = dinv_pad1.astype(np.float32)
+            state.update({
+                "mv_df_l1": mv_df1,
+                "Avals_f_l1": jnp.asarray(halo1.ell_values_np(
+                    np.asarray(A1.data, dtype=np.float32))),
+                "wd1_l1": jnp.asarray(
+                    (1.0 / (0.7 * lam_pad1)).astype(np.float32) * dinv1_f),
+                "wd2_l1": jnp.asarray(
+                    (1.0 / (1.1 * lam_pad1)).astype(np.float32) * dinv1_f),
+                "p_vals_f_l1": jnp.asarray(p_vals1.astype(np.float32)),
+                "r_vals_f_l1": jnp.asarray(r_vals1.astype(np.float32)),
+                "mask_f_l1": jnp.asarray(mask1.astype(np.float32)),
+            })
+        if self.coarse_on_device0:
+            self._build_coarse_fns(device_mesh, k=2)
+
+    # ------------------------------------------------------------------
+    def _smooth_level(self, st, x, r, sfx, matvec):
         for it in range(self.smooth_iters):
-            w = st["w1"] if it % 2 == 0 else st["w2"]
-            rr = r - self._matvec(st["mv"], st["Avals"], x)
-            x = x + w * (st["dinv"] * rr)
+            w = st["w1" + sfx] if it % 2 == 0 else st["w2" + sfx]
+            rr = r - matvec(st["mv" + sfx], st["Avals" + sfx], x)
+            x = x + w * (st["dinv" + sfx] * rr)
         return x
+
+    def _smooth0(self, st, x, r):
+        return self._smooth_level(st, x, r, "", self._matvec)
+
+    def _level1_cycle(self, st, rc):
+        n_dev = self.halo1.n_devices
+        r1 = rc[st["pos_l1"]] * st["mask_l1"]
+        x1 = self._smooth_level(st, jnp.zeros_like(r1), r1, "_l1",
+                                self._matvec1)
+        resid = r1 - self._matvec1(st["mv_l1"], st["Avals_l1"], x1)
+        rc2 = self._restrict(st["r_vals_l1"], st["r_cols_l1"],
+                             resid.reshape(n_dev, -1))
+        xc2 = self._coarse_cycle(st, rc2, k=2)
+        x1 = x1 + self._prolong(st["p_vals_l1"], st["p_cols_l1"],
+                                xc2).reshape(-1)
+        x1 = self._smooth_level(st, x1, r1, "_l1", self._matvec1)
+        return x1[st["newpos_l1"]]
 
     def __call__(self, r):
         st = self._state
@@ -327,21 +436,52 @@ class ShardedAMG:
         resid = r - self._matvec(st["mv"], st["Avals"], x)
         rc = self._restrict(st["r_vals"], st["r_cols"],
                             resid.reshape(n_dev, -1))
-        xc = self._coarse_cycle(st, rc)
+        if self.shard_levels >= 2:
+            xc = self._level1_cycle(st, rc)
+        else:
+            xc = self._coarse_cycle(st, rc)
         x = x + self._prolong(st["p_vals"], st["p_cols"], xc).reshape(-1)
         return self._smooth0(st, x, r)
 
     # ------------------------------------------------------------------
-    def _smooth0_df(self, st, xh, xl, bh, bl):
+    def _smooth_level_df(self, st, xh, xl, bh, bl, sfx, matvec_df):
         from knp_emi_cgx_tpu.solvers.df32 import df_add, df_scale_f32
 
         for it in range(self.smooth_iters):
-            wd = st["wd1"] if it % 2 == 0 else st["wd2"]
-            yh, yl = self._matvec_df(st["mv_df"], st["Avals_f"], xh, xl)
+            wd = st["wd1" + sfx] if it % 2 == 0 else st["wd2" + sfx]
+            yh, yl = matvec_df(st["mv_df" + sfx], st["Avals_f" + sfx],
+                               xh, xl)
             rh, rl = df_add(bh, bl, -yh, -yl)
             uh, ul = df_scale_f32(rh, rl, wd)
             xh, xl = df_add(xh, xl, uh, ul)
         return xh, xl
+
+    def _smooth0_df(self, st, xh, xl, bh, bl):
+        return self._smooth_level_df(st, xh, xl, bh, bl, "",
+                                     self._matvec_df)
+
+    def _level1_cycle_df(self, st, rch, rcl):
+        from knp_emi_cgx_tpu.solvers.df32 import df_add, df_zeros_like
+
+        n_dev = self.halo1.n_devices
+        r1h = rch[st["pos_l1"]] * st["mask_f_l1"]
+        r1l = rcl[st["pos_l1"]] * st["mask_f_l1"]
+        z = df_zeros_like(r1h)
+        x1h, x1l = self._smooth_level_df(st, z[0], z[1], r1h, r1l, "_l1",
+                                         self._matvec_df1)
+        yh, yl = self._matvec_df1(st["mv_df_l1"], st["Avals_f_l1"],
+                                  x1h, x1l)
+        resh, resl = df_add(r1h, r1l, -yh, -yl)
+        rc2h, rc2l = self._restrict_df(st["r_vals_f_l1"], st["r_cols_l1"],
+                                       resh.reshape(n_dev, -1),
+                                       resl.reshape(n_dev, -1))
+        xc2h, xc2l = self._coarse_cycle_df(st, rc2h, rc2l, k=2)
+        e1h, e1l = self._prolong_df(st["p_vals_f_l1"], st["p_cols_l1"],
+                                    xc2h, xc2l)
+        x1h, x1l = df_add(x1h, x1l, e1h.reshape(-1), e1l.reshape(-1))
+        x1h, x1l = self._smooth_level_df(st, x1h, x1l, r1h, r1l, "_l1",
+                                         self._matvec_df1)
+        return x1h[st["newpos_l1"]], x1l[st["newpos_l1"]]
 
     def apply_df(self, rh, rl):
         from knp_emi_cgx_tpu.solvers.df32 import df_add, df_zeros_like
@@ -361,7 +501,10 @@ class ShardedAMG:
         rch, rcl = self._restrict_df(st["r_vals_f"], st["r_cols"],
                                      resh.reshape(n_dev, -1),
                                      resl.reshape(n_dev, -1))
-        xch, xcl = self._coarse_cycle_df(st, rch, rcl)
+        if self.shard_levels >= 2:
+            xch, xcl = self._level1_cycle_df(st, rch, rcl)
+        else:
+            xch, xcl = self._coarse_cycle_df(st, rch, rcl)
         eh, el = self._prolong_df(st["p_vals_f"], st["p_cols"], xch, xcl)
         xh, xl = df_add(xh, xl, eh.reshape(-1), el.reshape(-1))
         return self._smooth0_df(st, xh, xl, rh, rl)

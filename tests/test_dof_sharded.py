@@ -135,6 +135,55 @@ def test_vertex_partition_covers_all_dofs():
     assert counts.min() > 0
 
 
+def test_precomputed_repaired_ell_matvec_bitwise():
+    """The hoisted system matvec (make_ell_df_fn + make_matvec_df_ell_fn —
+    value gather and nullspace-repair row sums computed once per assembled
+    operator) is BIT-IDENTICAL to the per-call repair matvec
+    (make_matvec_df_fn(repair=True)): the same ops on the same data, just
+    outside the Krylov loop.  Also cross-checks the static-preconditioner
+    ELL path (ell_values_np + with_lo=False) against the plain sharded
+    Chebyshev application."""
+    from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
+
+    cpu = jax.devices("cpu")
+    NDEV = 4
+    p, s0, _step, dmesh, halo = build_dof_sharded_problem(
+        NDEV, devices=cpu, n_mesh=8, precision="df32")
+    a = p.assembler
+    gates = {"n": s0.n, "m": s0.m, "h": s0.h}
+    vals, _b = a.assemble(s0.u, s0.phi_m, gates, s0.t + p.params.dt)
+    vals_sh = vals.reshape(NDEV, -1)
+
+    mv_old, arr_old = halo.make_matvec_df_fn(dmesh, repair=True)
+    onehot, phimask = halo.ell_repair_onehot(a.phi_repair_slots_np,
+                                             a.phi_col_mask_np)
+    arr_old = dict(arr_old, repair_onehot=onehot, phi_mask_ell=phimask)
+
+    ell_fn, ev = halo.make_ell_df_fn(dmesh, repair=True)
+    ev = dict(ev, repair_onehot=onehot, phi_mask_ell=phimask)
+    mv_new, arr_new = halo.make_matvec_df_ell_fn(dmesh, with_lo=True)
+
+    rng = np.random.default_rng(3)
+    x64 = rng.standard_normal(halo.n_padded)
+    xh, xl = df_from_f64(jnp.asarray(x64))
+
+    yh0, yl0 = mv_old(arr_old, vals_sh, xh, xl)
+    eh, el = ell_fn(ev, vals_sh)
+    yh1, yl1 = mv_new(arr_new, eh, el, xh, xl)
+    assert np.array_equal(np.asarray(yh0), np.asarray(yh1))
+    assert np.array_equal(np.asarray(yl0), np.asarray(yl1))
+
+    # static-preconditioner ELL path: df application ~= the plain (f32
+    # storage) application of the SAME Chebyshev polynomial
+    pc = p._sharded_pc
+    r = jnp.asarray(rng.standard_normal(halo.n_padded).astype(np.float32))
+    zh, zl = pc.apply_df(r, jnp.zeros_like(r))
+    z_df = np.asarray(df_to_f64(zh, zl))
+    z_plain = np.asarray(pc(r), dtype=np.float64)
+    scale = np.max(np.abs(z_plain)) or 1.0
+    np.testing.assert_allclose(z_df / scale, z_plain / scale, atol=5e-5)
+
+
 def test_dof_sharded_df32_production_tolerance():
     """The dof-sharded PRODUCTION path: compensated double-f32 Krylov with
     per-device ELL halo matvecs, block-local compensated dots, df32 sharded

@@ -76,6 +76,52 @@ def test_tissue_dof_sharded_amg_8_matches_1_and_unsharded_iterations():
         f"sharded AMG {int(its8)} its vs unsharded {int(its_ref)}"
 
 
+def test_sharded_amg_level1_sharded_matches_replicated():
+    """shard_levels=2 (level 1 sharded over its own coarse-dof halo plan,
+    agglomeration only from level 2 — the pod-scalable hierarchy) applies
+    the SAME V-cycle as the replicated-tail form: identical smoothing ops,
+    only the level-1<->2 transfer reductions regroup, so plain-f64 applies
+    agree to roundoff and df32 applies stay within the operator's ~2^-48
+    accuracy."""
+    from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
+
+    cpu = jax.devices("cpu")
+    p_rep, _, _, _, _ = build_dof_sharded_problem(
+        8, devices=cpu, n_mesh=16, pc_mode="amg")
+    p_sh2, _, _, _, _ = build_dof_sharded_problem(
+        8, devices=cpu, n_mesh=16, pc_mode="amg", amg_shard_levels=2)
+    pc_rep, pc_sh2 = p_rep._sharded_pc, p_sh2._sharded_pc
+    assert pc_sh2.shard_levels == 2, \
+        "hierarchy too shallow for the level-1 sharding test"
+    rng = np.random.default_rng(1)
+    r = rng.standard_normal(p_rep.assembler.n_dofs)
+    y_rep = np.asarray(pc_rep.halo.unpad_vector(
+        pc_rep(pc_rep.halo.pad_vector(jnp.asarray(r)))))
+    y_sh2 = np.asarray(pc_sh2.halo.unpad_vector(
+        pc_sh2(pc_sh2.halo.pad_vector(jnp.asarray(r)))))
+    np.testing.assert_allclose(y_sh2, y_rep, rtol=1e-11, atol=1e-14)
+
+    # df32 leg on a fresh df problem (and a full step through gmres_df32)
+    p_df, s0, step, dmesh, halo = build_dof_sharded_problem(
+        4, devices=cpu, n_mesh=16, precision="df32", rtol=1e-8, restart=16,
+        pc_mode="amg", amg_shard_levels=2)
+    pc = p_df._sharded_pc
+    assert pc.shard_levels == 2
+    r = rng.standard_normal(p_df.assembler.n_dofs)
+    y64 = np.asarray(pc.amg(jnp.asarray(r)))
+    r_pad = np.zeros(halo.n_padded)
+    r_pad[halo.newpos] = r
+    rh, rl = df_from_f64(jnp.asarray(r_pad))
+    yh, yl = pc.apply_df(rh, rl)
+    ydf = np.asarray(df_to_f64(yh, yl))[halo.newpos]
+    rel = np.linalg.norm(ydf - y64) / np.linalg.norm(y64)
+    assert rel < 1e-7, f"df32 level-1-sharded apply deviates by {rel:.2e}"
+
+    s1, its = step(s0)
+    assert int(its) > 1
+    assert np.all(np.isfinite(np.asarray(s1.u)))
+
+
 def test_sharded_amg_df32_apply_and_step():
     """The df32 production-tolerance application: compensated V-cycle on
     (hi, lo) pairs — must act as the same operator as the f64 apply of the
