@@ -60,6 +60,9 @@ BASELINE_US_PER_DOF_STEP = 5.94
 # preconditioner A/B knob (amg = per-block SA-AMG; amg2 = joint-phi
 # monolithic SA-AMG keeping the membrane capacitive cross-coupling)
 PC_MODE = os.environ.get("BENCH_PC", "amg")
+# warm-start A/B knob: "extrapolated" (2*x_k - x_{k-1} predictor, default)
+# or "previous" (reference non_zero_init_guess semantics)
+WARM_START = os.environ.get("BENCH_WARM", "extrapolated")
 
 
 def main():
@@ -80,7 +83,8 @@ def main():
     cfg.solver_config = {"direct": False,
                          "ksp_settings": {"ksp_rtol": RTOL,
                                           "pc_mode": PC_MODE,
-                                          "precision": "df32"}}
+                                          "precision": "df32",
+                                          "warm_start": WARM_START}}
 
     tic = time.perf_counter()
     mesh, tagger = generate_tissue_geometry(N_MESH, N_CELLS)
@@ -99,14 +103,25 @@ def main():
     # NOTE: no device->host readback before or during timing — the first
     # D2H flips the axon runtime into a synchronous per-kernel mode that is
     # ~3000x slower per step (block_until_ready is safe; int(its) is not).
+    extrap = solver.extrapolator()   # device-side predictor, no D2H
+    x_prev = state.x
     its_trace = []
-    for _ in range(WARMUP):
+
+    def advance(state, x_prev):
+        if extrap is not None:
+            x_cur = state.x
+            state = state._replace(x=extrap(x_cur, x_prev))
+            x_prev = x_cur
         state, its = step(state)
+        return state, x_prev, its
+
+    for _ in range(WARMUP):
+        state, x_prev, its = advance(state, x_prev)
     jax.block_until_ready(state)
 
     tic = time.perf_counter()
     for _ in range(STEPS):
-        state, its = step(state)
+        state, x_prev, its = advance(state, x_prev)
         its_trace.append(its)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - tic
@@ -129,6 +144,7 @@ def main():
             "gmres_iterations_max": max(its_np),
             "rtol": RTOL,
             "pc": PC_MODE,
+            "warm_start": WARM_START,
             "criterion": "preconditioned norm (PETSc KSP semantics), "
                          "df32 compensated solve",
             "setup_seconds": round(setup_s, 2),

@@ -387,6 +387,17 @@ class SolverKNPEMI:
         self.mixed_precision = bool(ksp.get("mixed_precision", False))
         self.precision = str(ksp.get(
             "precision", "f64" if self.mixed_precision else "f32"))
+        # warm_start: initial Krylov guess per step.
+        #   "previous"     — last step's solution (reference semantics:
+        #                    non_zero_init_guess, KNPEMIx_solver.py:177-209)
+        #   "extrapolated" — 2*x_k - x_{k-1}, the linear-in-time predictor.
+        #                    The solution drifts smoothly between steps, so
+        #                    the predictor removes the O(dt) part of the
+        #                    initial residual and cuts warm-step iterations
+        #                    (~46 -> ~30 measured at 603k dofs, rtol 1e-9).
+        #                    Certification is unchanged: the solve still
+        #                    terminates on the real preconditioned residual.
+        self.warm_start = str(ksp.get("warm_start", "previous"))
         self.mixed_precision = self.precision == "f64"
         # split_step: run assembly / Krylov solve / field scatter as THREE
         # jitted programs instead of one.  The axon TPU runtime faults when
@@ -420,6 +431,7 @@ class SolverKNPEMI:
         self._pc = None
         self._step_fn = None
         self._bundle = None
+        self._extrap_fn = None
 
     # ------------------------------------------------------------------
     def _build_step(self, state0: KNPEMIState):
@@ -706,6 +718,34 @@ class SolverKNPEMI:
         return bound_step
 
     # ------------------------------------------------------------------
+    def extrapolator(self):
+        """Jitted device-side warm-start predictor `g = 2*x_k - x_{k-1}`
+        (None unless warm_start == "extrapolated").  For the df32 path the
+        combination runs through an f64 round-trip (df_to_f64/df_from_f64)
+        so the predictor keeps the compensated pair's ~2^-48 quality; with
+        x64 disabled it degrades gracefully to an f32 predictor (still a
+        strictly better guess than the previous solution).  No host
+        readback — safe inside the axon hot loop."""
+        if self.warm_start != "extrapolated":
+            return None
+        if self._extrap_fn is not None:
+            return self._extrap_fn
+        df32_mode = self.precision == "df32" and not self.direct
+        use_f64 = jax.config.jax_enable_x64
+
+        def extrap(x_cur, x_prev):
+            if df32_mode and use_f64:
+                from knp_emi_cgx_tpu.solvers.df32 import (df_from_f64,
+                                                          df_to_f64)
+                g = (2.0 * df_to_f64(x_cur[0], x_cur[1])
+                     - df_to_f64(x_prev[0], x_prev[1]))
+                gh, gl = df_from_f64(g)
+                return jnp.stack([gh, gl])
+            return 2.0 * x_cur - x_prev
+
+        self._extrap_fn = jax.jit(extrap)
+        return self._extrap_fn
+
     def solve(self, state: KNPEMIState | None = None,
               callback=None) -> KNPEMIState:
         """Run the configured number of timesteps.  `callback(i, state)` is
@@ -719,14 +759,19 @@ class SolverKNPEMI:
             state = state._replace(x=state.x.astype(jnp.float64))
         elif self.precision == "df32" and state.x.ndim == 1:
             # x lives as a [2, n] (hi, lo) double-f32 pair across steps
-            state = state._replace(
-                x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
+            state = state._replace(x=self._df32_init_pair(state.x))
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
 
+        extrap = self.extrapolator()
+        x_sol_prev = state.x    # x_{k-1}; == x_0 at step 1 (predictor no-op)
         its_device = []
         for i in range(1, self.time_steps + 1):
             tic = time.perf_counter()
+            if extrap is not None:
+                x_sol_cur = state.x
+                state = state._replace(x=extrap(x_sol_cur, x_sol_prev))
+                x_sol_prev = x_sol_cur
             state, its = self._step_fn(state)
             if callback is None:
                 # keep the loop free of device->host reads (axon switches to
@@ -742,6 +787,21 @@ class SolverKNPEMI:
         if its_device and not self.direct:
             self.iterations.extend(int(v) for v in its_device)
         return state
+
+    def _df32_init_pair(self, x):
+        """Normalize a 1-D initial x to the [2, n] f32 (hi, lo) pair the
+        df32 step produces.  An f64 x is split (df_from_f64) instead of
+        stacked as-is: the step returns f32 pairs, so an f64-typed carry
+        would (a) force a second jit_step compile for the one-off first
+        call and (b) break the lax.scan carry-dtype invariant."""
+        if x.dtype == jnp.float64:
+            from knp_emi_cgx_tpu.solvers.df32 import df_from_f64
+
+            xh, xl = df_from_f64(x)
+        else:
+            xh = x.astype(jnp.float32)
+            xl = jnp.zeros_like(xh)
+        return jnp.stack([xh, xl])
 
     def dump_system(self, state: KNPEMIState, out_dir: str):
         """Assemble once and dump the system matrix/vector to npy in the
@@ -771,13 +831,25 @@ class SolverKNPEMI:
         if self.mixed_precision:
             state = state._replace(x=state.x.astype(jnp.float64))
         elif self.precision == "df32" and state.x.ndim == 1:
-            state = state._replace(
-                x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
+            state = state._replace(x=self._df32_init_pair(state.x))
         step = self._step_fn or self._build_step(state)
+        extrap = self.extrapolator()
 
-        def body(s, _):
+        if extrap is None:
+            def body(s, _):
+                s2, its = step(s)
+                return s2, its
+
+            final, _ = jax.lax.scan(body, state, None, length=num_steps)
+            return final
+
+        def body(carry, _):
+            s, x_prev = carry
+            x_cur = s.x
+            s = s._replace(x=extrap(x_cur, x_prev))
             s2, its = step(s)
-            return s2, its
+            return (s2, x_cur), its
 
-        final, _ = jax.lax.scan(body, state, None, length=num_steps)
+        (final, _), _ = jax.lax.scan(body, (state, state.x), None,
+                                     length=num_steps)
         return final

@@ -11,7 +11,18 @@ completes the >=5e5-dof, >=50-step, neuron+glia, rtol-1e-9 demonstration
 records; the dof-sharded path is separately recorded end-to-end at the
 same scale for a shorter step count (run_production.py --steps N).
 
-Flushes a partial JSON after every step so progress survives interruption.
+Durability: flushes a partial JSON after every step AND writes an atomic
+state checkpoint (npz: all field/gating arrays + the df32 warm-start
+vector) so an interrupted run resumes from the last completed step with
+``--resume`` instead of redoing hours of Krylov work.  The mesh generator
+is seeded, so the rebuilt operator is bit-identical across restarts.
+
+Warm start: from step 3 on, the solver guess is the linear extrapolation
+x_k + (x_k - x_{k-1}) of the last two solutions, computed in f64 and
+re-split into the compensated (hi, lo) pair.  The certification target is
+unchanged (real f64 preconditioned residual at rtol); a better guess only
+reduces the iterations needed to reach it (measured ~46 -> ~30 per warm
+step at 603k dofs).  Disable with --no-extrapolate.
 """
 import argparse
 import json
@@ -26,6 +37,13 @@ import numpy as np
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# NOTE on the XLA persistent compilation cache: tried and rejected.  With
+# PYTHONHASHSEED pinned the cross-process key does match, but XLA:CPU AOT
+# deserialization on this host hits a machine-feature mismatch
+# (+prefer-no-scatter/+prefer-no-gather) and the loaded executable runs
+# pathologically slowly (a 7 s step had made no progress after 9 min).
+# A resumed run therefore pays one fresh jit_step compile (~8 min at 48^3)
+# — bounded, and far cheaper than re-stepping.
 
 
 def main():
@@ -38,7 +56,14 @@ def main():
     ap.add_argument("--pc", default="amg")
     ap.add_argument("--config", default="configs/tissue/5m_100c.yaml")
     ap.add_argument("--out", default="output/production_unsharded.json")
+    ap.add_argument("--ckpt", default=None,
+                    help="state checkpoint path (default: <out>.ckpt.npz)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the checkpoint if present")
+    ap.add_argument("--no-extrapolate", action="store_true",
+                    help="disable the extrapolated warm start")
     args = ap.parse_args()
+    ckpt_path = args.ckpt or (os.path.splitext(args.out)[0] + ".ckpt.npz")
 
     jax.config.update("jax_platform_name", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
@@ -47,7 +72,9 @@ def main():
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.main import build_models
     from knp_emi_cgx_tpu.mesh.generation import geometry_from_spec
-    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
+    from knp_emi_cgx_tpu.problems.knpemi import (KNPEMIState, ProblemKNPEMI,
+                                                 SolverKNPEMI)
+    from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
 
     spec = f"tissue{args.mesh}x{args.cells}c"
     cfg = load_config(args.config)
@@ -56,6 +83,10 @@ def main():
                                           "pc_mode": args.pc,
                                           "precision": "df32",
                                           "restart": args.restart,
+                                          "warm_start":
+                                              ("previous"
+                                               if args.no_extrapolate
+                                               else "extrapolated"),
                                           "setup_cache": True}}
     print(f"[setup] {spec} unsharded df32 {args.pc} rtol={args.rtol}",
           flush=True)
@@ -75,11 +106,32 @@ def main():
 
     cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
     its_series, times = [], []
-    prev_state = None
+    first_step_seconds = None
+    start_step = 1
+    x_prev = None       # [2, n] df32 solution at step k-1 (for extrapolation)
+    prev_state = None   # state entering the final step (for certification)
+
+    if args.resume and os.path.exists(ckpt_path):
+        z = np.load(ckpt_path)
+        state = KNPEMIState(
+            u=jnp.asarray(z["u"]), phi_m=jnp.asarray(z["phi_m"]),
+            n=jnp.asarray(z["n"]), m=jnp.asarray(z["m"]),
+            h=jnp.asarray(z["h"]), t=jnp.asarray(z["t"][()]),
+            x=jnp.asarray(z["x"]))
+        x_prev = jnp.asarray(z["x_prev"]) if "x_prev" in z.files else None
+        its_series = [int(v) for v in z["its"]]
+        times = [float(v) for v in z["times"]]
+        first_step_seconds = float(z["first_step_seconds"][()])
+        start_step = int(z["step"][()]) + 1
+        print(f"[resume] checkpoint at step {start_step - 1} "
+              f"(t={float(z['t'][()]):.6e})", flush=True)
+
     result = {"spec": spec, "n_dofs": int(n_dofs), "devices": 1,
               "precision": "df32", "pc": args.pc, "rtol": args.rtol,
               "glia_tags": len(cfg.glia_tags),
               "setup_seconds": round(setup_s, 1),
+              "warm_start": ("extrapolated" if not args.no_extrapolate
+                             else "previous"),
               "conservation_initial": cons0, "platform": "cpu-unsharded"}
 
     def flush(partial=True):
@@ -87,6 +139,8 @@ def main():
         result["iterations"] = its_series
         if its_series:
             result["iterations_mean"] = round(float(np.mean(its_series)), 2)
+        if first_step_seconds is not None:
+            result["first_step_seconds"] = round(first_step_seconds, 1)
         if times:
             result["sec_per_step_warm"] = round(float(np.mean(times)), 2)
         result["partial"] = partial
@@ -94,23 +148,45 @@ def main():
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
 
-    for i in range(1, args.steps + 1):
+    def save_ckpt(i):
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "wb") as f:   # file object: savez must not append .npz
+            np.savez(f, u=np.asarray(state.u),
+                     phi_m=np.asarray(state.phi_m),
+                     n=np.asarray(state.n), m=np.asarray(state.m),
+                     h=np.asarray(state.h), t=np.float64(state.t),
+                     x=np.asarray(state.x),
+                     **({"x_prev": np.asarray(x_prev)} if x_prev is not None
+                        else {}),
+                     its=np.asarray(its_series, np.int64),
+                     times=np.asarray(times, np.float64),
+                     first_step_seconds=np.float64(first_step_seconds),
+                     step=np.int64(i))
+        os.replace(tmp, ckpt_path)
+
+    extrap = solver.extrapolator()
+    for i in range(start_step, args.steps + 1):
         tic = time.perf_counter()
         if i == args.steps:
             prev_state = state
+        x_cur = state.x
+        if extrap is not None and x_prev is not None:
+            state = state._replace(x=extrap(x_cur, x_prev))
         state, its = step(state)
         jax.block_until_ready(state)
         dt_s = time.perf_counter() - tic
         its_series.append(int(its))
         if i == 1:
-            result["first_step_seconds"] = round(dt_s, 1)
+            first_step_seconds = dt_s
         else:
             times.append(dt_s)
+        x_prev = x_cur
         phi_max = float(jnp.max(jnp.abs(state.phi_m)))
         print(f"[run] step {i}/{args.steps}: {int(its)} its, {dt_s:.1f} s, "
               f"max|phi_m|={phi_max:.4e}", flush=True)
         assert np.isfinite(phi_max), f"non-finite at step {i}"
         flush()
+        save_ckpt(i)
 
     consN = {k: float(v) for k, v in problem.conservation(state).items()}
     result["conservation_final"] = consN
@@ -120,15 +196,20 @@ def main():
                           for k, v in problem.l2_norms(state).items()}
 
     # certify the real f64 preconditioned residual of the FINAL solve
-    from knp_emi_cgx_tpu.solvers.df32 import (EllMatrix, df_from_f64,
-                                              df_to_f64, repaired_ell_values)
+    from knp_emi_cgx_tpu.solvers.df32 import repaired_ell_values
+
+    if prev_state is None:
+        print("[cert] skipped (run resumed past the final step boundary)",
+              flush=True)
+        flush(partial=False)
+        return
 
     pc = solver._pc
     ell = solver._ell
     gates = {"n": state.n, "m": state.m, "h": state.h}
     vals, b = a.assemble(prev_state.u, prev_state.phi_m, gates, state.t)
     ell_h, ell_l = repaired_ell_values(ell, vals, a.phi_col_mask,
-                                       a.phi_repair_slots)
+                                      a.phi_repair_slots)
     mask = (a.nullspace_np != 0).astype(np.float64)
     nsv = mask / np.linalg.norm(mask)
 
