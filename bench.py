@@ -104,24 +104,29 @@ def main():
     # D2H flips the axon runtime into a synchronous per-kernel mode that is
     # ~3000x slower per step (block_until_ready is safe; int(its) is not).
     extrap = solver.extrapolator()   # device-side predictor, no D2H
-    x_prev = state.x
+    x_prev = None
+    n_done = 0
     its_trace = []
 
-    def advance(state, x_prev):
+    def advance(state, x_prev, n_done):
         if extrap is not None:
             x_cur = state.x
-            state = state._replace(x=extrap(x_cur, x_prev))
+            # predict only from two converged solutions (>= 2 steps done)
+            if n_done >= 2:
+                state = state._replace(x=extrap(x_cur, x_prev))
             x_prev = x_cur
         state, its = step(state)
         return state, x_prev, its
 
     for _ in range(WARMUP):
-        state, x_prev, its = advance(state, x_prev)
+        state, x_prev, its = advance(state, x_prev, n_done)
+        n_done += 1
     jax.block_until_ready(state)
 
     tic = time.perf_counter()
     for _ in range(STEPS):
-        state, x_prev, its = advance(state, x_prev)
+        state, x_prev, its = advance(state, x_prev, n_done)
+        n_done += 1
         its_trace.append(its)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - tic

@@ -764,13 +764,18 @@ class SolverKNPEMI:
             self._step_fn = self._build_step(state)
 
         extrap = self.extrapolator()
-        x_sol_prev = state.x    # x_{k-1}; == x_0 at step 1 (predictor no-op)
+        x_sol_prev = None
         its_device = []
         for i in range(1, self.time_steps + 1):
             tic = time.perf_counter()
             if extrap is not None:
                 x_sol_cur = state.x
-                state = state._replace(x=extrap(x_sol_cur, x_sol_prev))
+                # extrapolate only once BOTH x_{k-1} and x_k are converged
+                # solutions (step >= 3).  At step 2 the older vector is the
+                # initial GUESS, and 2*x_1 - x_0 doubles the cold-start
+                # correction — a far worse guess than x_1 itself.
+                if i >= 3:
+                    state = state._replace(x=extrap(x_sol_cur, x_sol_prev))
                 x_sol_prev = x_sol_cur
             state, its = self._step_fn(state)
             if callback is None:
@@ -844,12 +849,15 @@ class SolverKNPEMI:
             return final
 
         def body(carry, _):
-            s, x_prev = carry
+            s, x_prev, k = carry
             x_cur = s.x
-            s = s._replace(x=extrap(x_cur, x_prev))
+            # k = completed steps; predict only from two converged
+            # solutions (k >= 2) — see the solve() loop comment
+            g = jnp.where(k >= 2, extrap(x_cur, x_prev), x_cur)
+            s = s._replace(x=g)
             s2, its = step(s)
-            return (s2, x_cur), its
+            return (s2, x_cur, k + 1), its
 
-        (final, _), _ = jax.lax.scan(body, (state, state.x), None,
-                                     length=num_steps)
+        (final, _, _), _ = jax.lax.scan(
+            body, (state, state.x, jnp.int32(0)), None, length=num_steps)
         return final

@@ -170,7 +170,10 @@ def main():
         if i == args.steps:
             prev_state = state
         x_cur = state.x
-        if extrap is not None and x_prev is not None:
+        # i >= 3: both history vectors are converged solutions (at step 2
+        # the older one is the initial GUESS and the predictor doubles the
+        # cold-start correction)
+        if extrap is not None and x_prev is not None and i >= 3:
             state = state._replace(x=extrap(x_cur, x_prev))
         state, its = step(state)
         jax.block_until_ready(state)
