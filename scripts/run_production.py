@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--out", default="output/production_run.json")
     ap.add_argument("--platform", default="cpu",
                     help="cpu (virtual 8-device mesh) or default backend")
+    ap.add_argument("--init-ckpt", default=None,
+                    help="npz checkpoint from run_production_unsharded.py "
+                         "(same mesh spec): start from its state instead of "
+                         "the cold ICs — the sharded record then continues "
+                         "the production run with warm-step iteration "
+                         "counts instead of paying a ~190-it cold solve")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -85,6 +91,52 @@ def main():
     a = problem.assembler
     n_dofs = a.n_dofs
     print(f"[setup] n_dofs={n_dofs}, setup {setup_s:.1f} s", flush=True)
+
+    resumed_from = None
+    if args.init_ckpt:
+        # map the unsharded checkpoint's state (original vertex/dof order)
+        # through the sharded problem's vertex/dof permutations; both
+        # builds generate the identical mesh (seeded), so the layouts are
+        # compatible by construction
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from knp_emi_cgx_tpu.parallel.distributed import shard_global_array
+
+        if args.precision != "df32":
+            raise SystemExit("--init-ckpt supports the df32 path only "
+                             "(the checkpoint carries a df32 (hi, lo) x)")
+        z = np.load(args.init_ckpt)
+        newpos_v = problem._vperm_newpos
+        n_vpad = problem._n_vpad
+        halo_np = np.asarray(halo.newpos)
+        fdt = np.float32
+        t_dt = np.asarray(state.t).dtype
+
+        def padv(arr):
+            arr = np.asarray(arr, fdt)
+            out = np.zeros(arr.shape[:-1] + (n_vpad,), fdt)
+            out[..., newpos_v] = arr
+            return out
+
+        axis = dmesh.axis_names[0]
+        vec_sh = NamedSharding(dmesh, P(axis))
+        x = np.asarray(z["x"], fdt)                      # [2, n] df32 pair
+        x_pad = np.zeros((x.shape[0], halo.n_padded), fdt)
+        x_pad[:, halo_np] = x
+        state = state._replace(
+            u=shard_global_array(padv(z["u"]),
+                                 NamedSharding(dmesh, P(None, axis))),
+            phi_m=shard_global_array(padv(z["phi_m"]), vec_sh),
+            n=shard_global_array(padv(z["n"]), vec_sh),
+            m=shard_global_array(padv(z["m"]), vec_sh),
+            h=shard_global_array(padv(z["h"]), vec_sh),
+            t=shard_global_array(np.asarray(z["t"][()], t_dt),
+                                 NamedSharding(dmesh, P())),
+            x=shard_global_array(x_pad,
+                                 NamedSharding(dmesh, P(None, axis))))
+        resumed_from = int(z["step"][()])
+        print(f"[init] warm state from {args.init_ckpt} "
+              f"(unsharded step {resumed_from}, t={float(z['t'][()]):.3e})",
+              flush=True)
 
     cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
 
@@ -171,6 +223,7 @@ def main():
         "l2_norms": norms,
         "final_real_precond_residual": rel,
         "platform": args.platform,
+        "warm_started_from_unsharded_step": resumed_from,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
