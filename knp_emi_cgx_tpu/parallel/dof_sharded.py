@@ -233,7 +233,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               mesh_spec: str | None = None,
                               cache: bool = False,
                               coarse_on_device0: bool = False,
-                              amg_shard_levels: int = 1):
+                              amg_shard_levels: int = 1,
+                              return_system: bool = False):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -351,10 +352,13 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     else:
         matvec_A, mvA_arrays = halo.make_matvec_fn(device_mesh)
 
+    if return_system and not df32:
+        raise ValueError("return_system requires precision='df32'")
     step_fn = _build_sharded_step(problem, pc, halo, device_mesh,
                                   matvec_A, mvA_arrays,
                                   rtol=rtol, restart=restart, axis=axis,
-                                  df32=df32, ell_fn=ell_fn)
+                                  df32=df32, ell_fn=ell_fn,
+                                  return_system=return_system)
 
     # pad + shard EVERYTHING: the warm-start vector over the dof layout,
     # the state fields over the vertex layout.  shard_global_array is the
@@ -395,7 +399,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
 
 def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
                         rtol: float, restart: int, axis: str,
-                        df32: bool = False, ell_fn=None):
+                        df32: bool = False, ell_fn=None,
+                        return_system: bool = False):
     from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
                                                forward_euler_update)
     from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
@@ -461,6 +466,7 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
             b = jax.lax.with_sharding_constraint(b, shard_vec)
 
             mv = bundle["mv"]
+            sys_out = None
             if df32:
                 from knp_emi_cgx_tpu.solvers.df32 import gmres_df32
 
@@ -476,6 +482,13 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
                 x = jnp.stack([xh, xl])
                 x_point = xh + xl
                 its = res.iterations
+                if return_system:
+                    # the EXACT operator/RHS the solve certified against —
+                    # for an honest external residual recompute.  An eager
+                    # re-assembly differs from the in-jit (GSPMD) one by
+                    # ~1 ulp of f32, which the b - A x cancellation
+                    # amplifies to a few x at the 1e-9 residual level.
+                    sys_out = (eh, el, b)
             else:
                 res = gmres(lambda v: matvec_A(mv, vals_sh, v),
                             b, state.x, M=pc,
@@ -491,8 +504,11 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
                 verts, dofs = bundle["scat"][f]
                 u = u.at[f, verts].set(x_point[dofs])
             phi_m = u[a.PHI_I] - u[a.PHI_E]
-            return KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
-                               t=t_new, x=x), its
+            new_state = KNPEMIState(u=u, phi_m=phi_m, n=n_, m=m_, h=h_,
+                                    t=t_new, x=x)
+            if return_system:
+                return new_state, its, sys_out
+            return new_state, its
         finally:
             a.install_device_state(old_a)
             pc.install(old_pc)
@@ -504,4 +520,5 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
 
     bound_step.jitted = jitted
     bound_step.bundle = bundle
+    bound_step.matvec_A = matvec_A
     return bound_step

@@ -364,6 +364,28 @@ class ProblemKNPEMI:
         return out
 
 
+def make_extrapolator(df32_mode: bool):
+    """Jitted device-side warm-start predictor `g = 2*x_k - x_{k-1}`.
+
+    Elementwise, so it preserves any dof sharding of the inputs (used by
+    both the unsharded SolverKNPEMI loop and the dof-sharded production
+    harness).  For df32 [2, n] pairs the combination runs through an f64
+    round-trip so the compensated pair's ~2^-48 guess quality survives;
+    with x64 disabled it degrades gracefully to an f32 predictor."""
+    use_f64 = jax.config.jax_enable_x64
+
+    def extrap(x_cur, x_prev):
+        if df32_mode and use_f64:
+            from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
+            g = (2.0 * df_to_f64(x_cur[0], x_cur[1])
+                 - df_to_f64(x_prev[0], x_prev[1]))
+            gh, gl = df_from_f64(g)
+            return jnp.stack([gh, gl])
+        return 2.0 * x_cur - x_prev
+
+    return jax.jit(extrap)
+
+
 class SolverKNPEMI:
     """Time-stepping driver.  solver_config mirrors the reference YAML
     `solver:` block (direct, ksp_settings{ksp_rtol, ...}, output{...})."""
@@ -731,19 +753,7 @@ class SolverKNPEMI:
         if self._extrap_fn is not None:
             return self._extrap_fn
         df32_mode = self.precision == "df32" and not self.direct
-        use_f64 = jax.config.jax_enable_x64
-
-        def extrap(x_cur, x_prev):
-            if df32_mode and use_f64:
-                from knp_emi_cgx_tpu.solvers.df32 import (df_from_f64,
-                                                          df_to_f64)
-                g = (2.0 * df_to_f64(x_cur[0], x_cur[1])
-                     - df_to_f64(x_prev[0], x_prev[1]))
-                gh, gl = df_from_f64(g)
-                return jnp.stack([gh, gl])
-            return 2.0 * x_cur - x_prev
-
-        self._extrap_fn = jax.jit(extrap)
+        self._extrap_fn = make_extrapolator(df32_mode)
         return self._extrap_fn
 
     def solve(self, state: KNPEMIState | None = None,

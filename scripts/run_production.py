@@ -63,6 +63,9 @@ def main():
                          "the cold ICs — the sharded record then continues "
                          "the production run with warm-step iteration "
                          "counts instead of paying a ~190-it cold solve")
+    ap.add_argument("--no-extrapolate", action="store_true",
+                    help="disable the extrapolated warm start (the "
+                         "2*x_k - x_{k-1} predictor)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -82,17 +85,21 @@ def main():
     print(f"[setup] {spec}, {args.devices} devices, {args.precision} "
           f"{args.pc} rtol={args.rtol}", flush=True)
     tic = time.perf_counter()
+    df32 = args.precision == "df32"
     problem, state, step, dmesh, halo = build_dof_sharded_problem(
         args.devices, devices=devices, config=args.config, mesh_spec=spec,
         precision=args.precision, pc_mode=args.pc, rtol=args.rtol,
         restart=args.restart, cache=True,
-        coarse_on_device0=(args.platform == "cpu"))
+        coarse_on_device0=(args.platform == "cpu"),
+        return_system=df32)
     setup_s = time.perf_counter() - tic
     a = problem.assembler
     n_dofs = a.n_dofs
     print(f"[setup] n_dofs={n_dofs}, setup {setup_s:.1f} s", flush=True)
 
     resumed_from = None
+    x_prev = None        # [2, n_padded] sharded solution at step k-1
+    converged_hist = 0   # how many of (x, x_prev) are converged solutions
     if args.init_ckpt:
         # map the unsharded checkpoint's state (original vertex/dof order)
         # through the sharded problem's vertex/dof permutations; both
@@ -133,34 +140,60 @@ def main():
                                  NamedSharding(dmesh, P())),
             x=shard_global_array(x_pad,
                                  NamedSharding(dmesh, P(None, axis))))
+        if "x_prev" in z.files:
+            xp = np.asarray(z["x_prev"], fdt)
+            xp_pad = np.zeros((xp.shape[0], halo.n_padded), fdt)
+            xp_pad[:, halo_np] = xp
+            x_prev = shard_global_array(xp_pad,
+                                        NamedSharding(dmesh, P(None, axis)))
+            converged_hist = 2   # ckpt x AND x_prev are converged solutions
+        else:
+            converged_hist = 1
         resumed_from = int(z["step"][()])
         print(f"[init] warm state from {args.init_ckpt} "
-              f"(unsharded step {resumed_from}, t={float(z['t'][()]):.3e})",
+              f"(unsharded step {resumed_from}, t={float(z['t'][()]):.3e}, "
+              f"x_prev={'yes' if x_prev is not None else 'no'})",
               flush=True)
 
     cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
 
-    # first (cold) step triggers the jit compile
-    tic = time.perf_counter()
-    state, its0 = step(state)
-    jax.block_until_ready(state)
-    t_first = time.perf_counter() - tic
-    print(f"[run] step 1: {int(its0)} its, {t_first:.1f} s "
-          f"(incl. compile)", flush=True)
+    # extrapolated warm start (the 2*x_k - x_{k-1} predictor): elementwise
+    # and sharding-preserving, applied only once BOTH history vectors are
+    # converged solutions (a ckpt with x_prev qualifies immediately)
+    extrap = None
+    if not args.no_extrapolate and args.precision == "df32":
+        from knp_emi_cgx_tpu.problems.knpemi import make_extrapolator
+        extrap = make_extrapolator(df32_mode=True)
 
-    its_series = [int(its0)]
+    its_series = []
     times = []
+    t_first = None
     prev_state = None
-    for i in range(2, args.steps + 1):
+    for i in range(1, args.steps + 1):
         tic = time.perf_counter()
         if i == args.steps:
             prev_state = state   # kept for the residual certification
-        state, its = step(state)
+        x_cur = state.x
+        if extrap is not None and x_prev is not None and converged_hist >= 2:
+            state = state._replace(x=extrap(x_cur, x_prev))
+        if df32:
+            state, its, sys_solved = step(state)
+            if i != args.steps:
+                sys_solved = None    # keep only the final step's operator
+        else:
+            state, its = step(state)
         jax.block_until_ready(state)
         dt_s = time.perf_counter() - tic
-        times.append(dt_s)
+        x_prev = x_cur
+        converged_hist = min(converged_hist + 1, 2)
         its_series.append(int(its))
-        if i % 5 == 0 or i == args.steps:
+        if i == 1:
+            t_first = dt_s
+            print(f"[run] step 1: {int(its)} its, {dt_s:.1f} s "
+                  f"(incl. compile)", flush=True)
+        else:
+            times.append(dt_s)
+        if i > 1 and (i % 5 == 0 or i == args.steps):
             phi_max = float(jax.numpy.max(jax.numpy.abs(state.phi_m)))
             print(f"[run] step {i}: {int(its)} its, {dt_s:.2f} s, "
                   f"max|phi_m|={phi_max:.4e}", flush=True)
@@ -170,40 +203,60 @@ def main():
     norms = {k: float(v) for k, v in problem.l2_norms(state).items()}
 
     # certify the REAL f64 preconditioned residual of the last solve
-    # (PETSc KSP semantics — the tolerance the reference's rtol refers to)
+    # (PETSc KSP semantics — the tolerance the reference's rtol refers to).
+    # The operator/RHS come FROM THE STEP ITSELF (return_system): the cert
+    # must evaluate the system the solver actually solved.  An eager host
+    # re-assembly differs from the step's in-jit GSPMD assembly by ~1 ulp
+    # of f32 per value, which the b - A x cancellation amplifies to a few
+    # x at the 1e-9 residual level (the round-3 "sharded cert gap" was
+    # exactly this recompute artifact, not a solver defect).
     rel = None
-    if args.precision == "df32" and prev_state is not None:
+    rel_reassembled = None
+    if df32 and prev_state is not None:
         from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
 
         pc = problem._sharded_pc
-        # reconstruct the final solve's system: operator assembled from the
-        # PRE-step fields with the post-gating-update gates (exactly what
-        # the step assembled), solved for x = state.x
-        gates = {"n": state.n, "m": state.m, "h": state.h}
-        vals, b = a.assemble(prev_state.u, prev_state.phi_m, gates, state.t)
-        matvec_df, arrays = halo.make_matvec_df_fn(dmesh,
-                                                   repair=not a.has_bcs)
-        if not a.has_bcs:
-            onehot, phimask = halo.ell_repair_onehot(a.phi_repair_slots_np,
-                                                     a.phi_col_mask_np)
-            arrays = dict(arrays, repair_onehot=onehot, phi_mask_ell=phimask)
-        vals_sh = vals.reshape(args.devices, -1)
+        eh, el, b = sys_solved
         mask = (a.nullspace_np != 0).astype(np.float64)
         nsv = mask / np.linalg.norm(mask)
 
         def proj(v):
             return v - nsv * (nsv @ v)
 
-        yh, yl = matvec_df(arrays, vals_sh, state.x[0], state.x[1])
-        r = proj(np.asarray(b, np.float64) - np.asarray(df_to_f64(yh, yl)))
-        Mr = proj(np.asarray(df_to_f64(
-            *pc.apply_df(*df_from_f64(jax.numpy.asarray(r))))))
-        bp = proj(np.asarray(b, np.float64))
-        Mb = proj(np.asarray(df_to_f64(
-            *pc.apply_df(*df_from_f64(jax.numpy.asarray(bp))))))
-        rel = float(np.linalg.norm(Mr) / np.linalg.norm(Mb))
+        def precond_rel(yh, yl, b):
+            r = proj(np.asarray(b, np.float64)
+                     - np.asarray(df_to_f64(yh, yl)))
+            Mr = proj(np.asarray(df_to_f64(
+                *pc.apply_df(*df_from_f64(jax.numpy.asarray(r))))))
+            bp = proj(np.asarray(b, np.float64))
+            Mb = proj(np.asarray(df_to_f64(
+                *pc.apply_df(*df_from_f64(jax.numpy.asarray(bp))))))
+            return float(np.linalg.norm(Mr) / np.linalg.norm(Mb))
+
+        yh, yl = step.matvec_A(step.bundle["mv"], eh, el,
+                               state.x[0], state.x[1])
+        rel = precond_rel(yh, yl, b)
         print(f"[cert] real f64 preconditioned residual of final solve: "
               f"{rel:.3e} (rtol {args.rtol})", flush=True)
+
+        # secondary diagnostic: the same residual against an independent
+        # eager re-assembly of the operator (floors at the f32 assembly-
+        # reproducibility level, typically a few x rtol at rtol 1e-9)
+        gates = {"n": state.n, "m": state.m, "h": state.h}
+        vals2, b2 = a.assemble(prev_state.u, prev_state.phi_m, gates,
+                               state.t)
+        matvec_df, arrays = halo.make_matvec_df_fn(dmesh,
+                                                   repair=not a.has_bcs)
+        if not a.has_bcs:
+            onehot, phimask = halo.ell_repair_onehot(a.phi_repair_slots_np,
+                                                     a.phi_col_mask_np)
+            arrays = dict(arrays, repair_onehot=onehot,
+                          phi_mask_ell=phimask)
+        y2h, y2l = matvec_df(arrays, vals2.reshape(args.devices, -1),
+                             state.x[0], state.x[1])
+        rel_reassembled = precond_rel(y2h, y2l, b2)
+        print(f"[cert] vs eager re-assembly (reproducibility floor): "
+              f"{rel_reassembled:.3e}", flush=True)
 
     cons_drift = {k: abs(consN[k] - cons0[k]) / abs(cons0[k])
                   for k in cons0}
@@ -212,6 +265,7 @@ def main():
         "devices": args.devices, "precision": args.precision,
         "pc": args.pc, "rtol": args.rtol,
         "glia_tags": n_glia_tags,
+        "warm_start": ("extrapolated" if extrap is not None else "previous"),
         "setup_seconds": round(setup_s, 1),
         "first_step_seconds": round(t_first, 1),
         "sec_per_step_warm": round(float(np.mean(times)), 3) if times else None,
@@ -222,6 +276,7 @@ def main():
         "conservation_rel_drift": cons_drift,
         "l2_norms": norms,
         "final_real_precond_residual": rel,
+        "final_residual_vs_eager_reassembly": rel_reassembled,
         "platform": args.platform,
         "warm_started_from_unsharded_step": resumed_from,
     }

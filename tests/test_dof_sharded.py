@@ -201,7 +201,7 @@ def test_dof_sharded_df32_production_tolerance():
     NDEV = 4
     p_sh, s0, step_sh, dmesh, halo = build_dof_sharded_problem(
         NDEV, devices=cpu, n_mesh=8, precision="df32", rtol=RTOL,
-        restart=16)
+        restart=16, return_system=True)
     assert s0.x.shape[0] == 2 and s0.x.dtype == jnp.float32
 
     # solve one system with the exact sharded production pieces (eager
@@ -243,7 +243,26 @@ def test_dof_sharded_df32_production_tolerance():
     rel = np.linalg.norm(Mr) / np.linalg.norm(Mb)
     assert rel <= 2 * RTOL, f"real preconditioned residual {rel:.3e}"
 
-    # the full jitted step runs and produces finite fields
-    s1, its = step_sh(s0)
+    # the full jitted step runs and produces finite fields; with
+    # return_system=True it also hands back the (eh, el, b) it solved
+    s1, its, sys_solved = step_sh(s0)
     assert int(its) > 1
     assert np.all(np.isfinite(np.asarray(s1.u)))
+
+    # the run_production.py certification path: the external residual
+    # recompute against the STEP'S OWN operator/RHS certifies at rtol
+    # (an eager re-assembly would differ by ~1 ulp of f32 and float the
+    # measured residual a few x — the round-3 "sharded cert gap")
+    eh, el, b_step = sys_solved
+    ysh, ysl = step_sh.matvec_A(step_sh.bundle["mv"], eh, el,
+                                s1.x[0], s1.x[1])
+    r_s = proj(np.asarray(b_step, np.float64)
+               - np.asarray(df_to_f64(ysh, ysl)))
+    Mr_s = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(r_s))))))
+    bp_s = proj(np.asarray(b_step, np.float64))
+    Mb_s = proj(np.asarray(df_to_f64(
+        *pc.apply_df(*df_from_f64(jnp.asarray(bp_s))))))
+    rel_step = np.linalg.norm(Mr_s) / np.linalg.norm(Mb_s)
+    assert rel_step <= 2 * RTOL, \
+        f"step-system real preconditioned residual {rel_step:.3e}"
