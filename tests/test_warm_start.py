@@ -54,6 +54,35 @@ def test_extrapolated_matches_previous_and_cuts_iterations():
     assert s_ext.iterations[0] == s_prev.iterations[0]
 
 
+def test_extrapolator_preserves_sharding():
+    """make_extrapolator is elementwise, so a dof-sharded [2, n] df32 pair
+    keeps its sharding through the predictor — the property the sharded
+    production harness (scripts/run_production.py) relies on."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from knp_emi_cgx_tpu.problems.knpemi import make_extrapolator
+
+    devs = jax.devices("cpu")[:4]
+    mesh = Mesh(np.array(devs), ("cells",))
+    sh = NamedSharding(mesh, P(None, "cells"))
+    rng = np.random.default_rng(0)
+    x64_cur = rng.standard_normal(64)
+    x64_prev = rng.standard_normal(64)
+
+    def pair(v):
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return jax.device_put(np.stack([hi, lo]), sh)
+
+    extrap = make_extrapolator(df32_mode=True)
+    g = extrap(pair(x64_cur), pair(x64_prev))
+    assert g.sharding.spec == P(None, "cells")
+    g64 = np.asarray(g[0], np.float64) + np.asarray(g[1], np.float64)
+    np.testing.assert_allclose(g64, 2.0 * x64_cur - x64_prev,
+                               rtol=1e-14, atol=1e-15)
+
+
 def test_extrapolated_scan_matches_python_loop():
     cfg = load_config("configs/tests/golden_parity.yaml")
     cfg.time_steps = N_STEPS
