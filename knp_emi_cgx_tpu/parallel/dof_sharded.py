@@ -54,7 +54,10 @@ def unpad_vertex_fields(problem, arr):
 def vertex_dof_partition(assembler, n_devices: int):
     """Partition mesh vertices (BFS region growing on the vertex adjacency
     graph) and map every monolithic dof to its vertex's device.  Returns
-    (vpart [n_vertices], dof_part [n_dofs])."""
+    (vpart [n_vertices], dof_part [n_dofs]).
+
+    `assembler` is duck-typed: anything with .topo.mesh, .field_dof and
+    .n_dofs works (KNPEMIAssembler, ProblemEMI)."""
     import scipy.sparse as sp
 
     mesh = assembler.topo.mesh
@@ -81,7 +84,7 @@ def vertex_dof_partition(assembler, n_devices: int):
 
     fd = assembler.field_dof
     dof_part = np.empty(assembler.n_dofs, dtype=np.int32)
-    for f in range(assembler.nf):
+    for f in range(getattr(assembler, "nf", fd.shape[0])):
         active = np.nonzero(fd[f] >= 0)[0]
         dof_part[fd[f, active]] = vpart[active]
     return vpart, dof_part

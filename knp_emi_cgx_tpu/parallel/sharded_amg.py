@@ -121,27 +121,48 @@ class ShardedAMG:
     def __init__(self, assembler, u0, dof_part, device_mesh: Mesh,
                  axis: str = "cells", df: bool = False, cache: bool = False,
                  smooth_iters: int = 2, coarse_on_device0: bool = False,
-                 shard_levels: int = 1, **amg_kwargs):
-        dtype = assembler.dtype
-        n = assembler.n_dofs
+                 shard_levels: int = 1, matrix: sp.csr_matrix | None = None,
+                 components: np.ndarray | None = None,
+                 block_pairs: np.ndarray | None = None,
+                 per_component_lam: bool | None = None,
+                 dtype=None, **amg_kwargs):
+        """Default construction builds the KNP-EMI monolithic block-diagonal
+        preconditioner from (assembler, u0).  Pass `matrix` to shard an AMG
+        hierarchy on an ARBITRARY SPD CSR instead (e.g. the whole EMI
+        operator with `components`/`block_pairs` — the membrane-pair
+        smoothing recipe); `assembler`/`u0` may then be None."""
         n_dev = device_mesh.devices.size
         self.axis = axis
         self.smooth_iters = int(smooth_iters)
         self.df = df
 
-        u0_np = np.asarray(u0, dtype=np.float64)
-        Pm, block_of, _ = monolithic_block_precond(assembler, u0_np)
+        if matrix is not None:
+            Pm = matrix.tocsr()
+            block_of = components
+            n = Pm.shape[0]
+            dtype = dtype or (assembler.dtype if assembler is not None
+                              else jnp.float64)
+            pcl = bool(per_component_lam)
+        else:
+            dtype = assembler.dtype
+            n = assembler.n_dofs
+            u0_np = np.asarray(u0, dtype=np.float64)
+            Pm, block_of, _ = monolithic_block_precond(assembler, u0_np)
+            pcl = True if per_component_lam is None else per_component_lam
         amg = SmoothedAggregationAMG(
             Pm, dtype=dtype, df=df, components=block_of,
-            per_component_lam=True, smooth_iters=smooth_iters,
+            per_component_lam=pcl, smooth_iters=smooth_iters,
+            block_pairs=block_pairs,
             keep_host=True, cache=cache, **amg_kwargs)
         self.amg = amg
 
         A0, P0, B0, lam0 = amg.host_levels[0]
-        if (B0 - sp.diags(B0.diagonal())).nnz:
-            raise NotImplementedError(
-                "sharded level-0 smoothing supports diagonal Binv only "
-                "(pair-block smoothing is an EMI-hierarchy feature)")
+        # level-0 smoothing operator: elementwise dinv when B0 is diagonal;
+        # otherwise (pair-block smoothing, the EMI membrane recipe) B0 is a
+        # static CSR applied as its own halo SpMV in the SAME dof layout —
+        # 2x2 membrane pairs live on one vertex, so under a vertex-derived
+        # partition B0 has (near-)empty halos, but the general path is used
+        self._b0_diag = (B0 - sp.diags(B0.diagonal())).nnz == 0
         halo = HaloSpMV(A0.indptr, A0.indices, n, n_dev,
                         axis=axis, part=dof_part)
         self.halo = halo
@@ -169,6 +190,14 @@ class ShardedAMG:
             "mv": mv,
             "amg": amg.device_state(),
         }
+        if not self._b0_diag:
+            halo_b = HaloSpMV(B0.indptr, B0.indices, n, n_dev,
+                              axis=axis, part=dof_part)
+            self.halo_b = halo_b
+            self._matvec_b, mv_b = halo_b.make_matvec_fn(device_mesh)
+            state["mv_b"] = mv_b
+            state["Bvals"] = jnp.asarray(
+                halo_b.shard_values_np(np.asarray(B0.data, dtype=npdt)))
 
         # coarse_on_device0: run the replicated coarse hierarchy on device 0
         # only (lax.cond on the axis index) and broadcast the correction
@@ -202,11 +231,24 @@ class ShardedAMG:
             state["mv_df"] = mv_df
             state["Avals_f"] = jnp.asarray(
                 halo.ell_values_np(np.asarray(A0.data, dtype=np.float32)))
-            dinv_f = dinv_pad.astype(np.float32)
-            state["wd1"] = jnp.asarray(
-                (1.0 / (0.7 * lam_pad)).astype(np.float32) * dinv_f)
-            state["wd2"] = jnp.asarray(
-                (1.0 / (1.1 * lam_pad)).astype(np.float32) * dinv_f)
+            if self._b0_diag:
+                dinv_f = dinv_pad.astype(np.float32)
+                state["wd1"] = jnp.asarray(
+                    (1.0 / (0.7 * lam_pad)).astype(np.float32) * dinv_f)
+                state["wd2"] = jnp.asarray(
+                    (1.0 / (1.1 * lam_pad)).astype(np.float32) * dinv_f)
+            else:
+                # matrix B0: the Chebyshev weight cannot be folded into a
+                # diagonal — apply B0 as a df ELL halo matvec, then scale
+                self._matvec_df_b, mv_df_b = self.halo_b.make_matvec_df_ell_fn(
+                    device_mesh, with_lo=False)
+                state["mv_df_b"] = mv_df_b
+                state["Bvals_f"] = jnp.asarray(self.halo_b.ell_values_np(
+                    np.asarray(B0.data, dtype=np.float32)))
+                state["wd1"] = jnp.asarray(
+                    (1.0 / (0.7 * lam_pad)).astype(np.float32))
+                state["wd2"] = jnp.asarray(
+                    (1.0 / (1.1 * lam_pad)).astype(np.float32))
             if not self._single_level:
                 state["p_vals_f"] = jnp.asarray(p_vals.astype(np.float32))
                 state["r_vals_f"] = jnp.asarray(r_vals.astype(np.float32))
@@ -405,7 +447,11 @@ class ShardedAMG:
         for it in range(self.smooth_iters):
             w = st["w1" + sfx] if it % 2 == 0 else st["w2" + sfx]
             rr = r - matvec(st["mv" + sfx], st["Avals" + sfx], x)
-            x = x + w * (st["dinv" + sfx] * rr)
+            if sfx == "" and not self._b0_diag:
+                u = self._matvec_b(st["mv_b"], st["Bvals"], rr)
+            else:
+                u = st["dinv" + sfx] * rr
+            x = x + w * u
         return x
 
     def _smooth0(self, st, x, r):
@@ -447,11 +493,15 @@ class ShardedAMG:
     def _smooth_level_df(self, st, xh, xl, bh, bl, sfx, matvec_df):
         from knp_emi_cgx_tpu.solvers.df32 import df_add, df_scale_f32
 
+        b0_mat = sfx == "" and not self._b0_diag
         for it in range(self.smooth_iters):
             wd = st["wd1" + sfx] if it % 2 == 0 else st["wd2" + sfx]
             yh, yl = matvec_df(st["mv_df" + sfx], st["Avals_f" + sfx],
                                xh, xl)
             rh, rl = df_add(bh, bl, -yh, -yl)
+            if b0_mat:
+                rh, rl = self._matvec_df_b(st["mv_df_b"], st["Bvals_f"],
+                                           rh, rl)
             uh, ul = df_scale_f32(rh, rl, wd)
             xh, xl = df_add(xh, xl, uh, ul)
         return xh, xl
