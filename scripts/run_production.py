@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--no-extrapolate", action="store_true",
                     help="disable the extrapolated warm start (the "
                          "2*x_k - x_{k-1} predictor)")
+    ap.add_argument("--cert-reassembly-check", action="store_true",
+                    help="also recompute the final residual against an "
+                         "independent eager re-assembly (a reproducibility "
+                         "diagnostic, NOT the certification; costs an extra "
+                         "eager assembly + matvec compile at scale)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -212,6 +217,39 @@ def main():
     # exactly this recompute artifact, not a solver defect).
     rel = None
     rel_reassembled = None
+
+    def write_result(rel, rel_reassembled):
+        cons_drift = {k: abs(consN[k] - cons0[k]) / abs(cons0[k])
+                      for k in cons0}
+        result = {
+            "spec": spec, "n_dofs": int(n_dofs), "steps": args.steps,
+            "devices": args.devices, "precision": args.precision,
+            "pc": args.pc, "rtol": args.rtol,
+            "glia_tags": n_glia_tags,
+            "warm_start": ("extrapolated" if extrap is not None
+                           else "previous"),
+            "setup_seconds": round(setup_s, 1),
+            "first_step_seconds": round(t_first, 1),
+            "sec_per_step_warm": (round(float(np.mean(times)), 3)
+                                  if times else None),
+            "iterations": its_series,
+            "iterations_mean": round(float(np.mean(its_series)), 2),
+            "conservation_initial": cons0,
+            "conservation_final": consN,
+            "conservation_rel_drift": cons_drift,
+            "l2_norms": norms,
+            "final_real_precond_residual": rel,
+            "final_residual_vs_eager_reassembly": rel_reassembled,
+            "platform": args.platform,
+            "warm_started_from_unsharded_step": resumed_from,
+        }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[done] wrote {args.out}", flush=True)
+        print(json.dumps({k: v for k, v in result.items()
+                          if k != "iterations"}, indent=1))
+
     if df32 and prev_state is not None:
         from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
 
@@ -223,14 +261,19 @@ def main():
         def proj(v):
             return v - nsv * (nsv @ v)
 
+        # jit the V-cycle application: an EAGER apply_df at production
+        # scale dispatches hundreds of separate 8-way SPMD programs
+        # (observed ~1 h for the cert at 603k dofs; jitted it is seconds
+        # after one compile)
+        apply_df_j = jax.jit(
+            lambda v: df_to_f64(*pc.apply_df(*df_from_f64(v))))
+
         def precond_rel(yh, yl, b):
             r = proj(np.asarray(b, np.float64)
                      - np.asarray(df_to_f64(yh, yl)))
-            Mr = proj(np.asarray(df_to_f64(
-                *pc.apply_df(*df_from_f64(jax.numpy.asarray(r))))))
+            Mr = proj(np.asarray(apply_df_j(jax.numpy.asarray(r))))
             bp = proj(np.asarray(b, np.float64))
-            Mb = proj(np.asarray(df_to_f64(
-                *pc.apply_df(*df_from_f64(jax.numpy.asarray(bp))))))
+            Mb = proj(np.asarray(apply_df_j(jax.numpy.asarray(bp))))
             return float(np.linalg.norm(Mr) / np.linalg.norm(Mb))
 
         yh, yl = step.matvec_A(step.bundle["mv"], eh, el,
@@ -238,6 +281,12 @@ def main():
         rel = precond_rel(yh, yl, b)
         print(f"[cert] real f64 preconditioned residual of final solve: "
               f"{rel:.3e} (rtol {args.rtol})", flush=True)
+
+        if not args.cert_reassembly_check:
+            print("[cert] eager re-assembly diagnostic skipped "
+                  "(--cert-reassembly-check)", flush=True)
+            write_result(rel, None)
+            return
 
         # secondary diagnostic: the same residual against an independent
         # eager re-assembly of the operator (floors at the f32 assembly-
@@ -258,34 +307,7 @@ def main():
         print(f"[cert] vs eager re-assembly (reproducibility floor): "
               f"{rel_reassembled:.3e}", flush=True)
 
-    cons_drift = {k: abs(consN[k] - cons0[k]) / abs(cons0[k])
-                  for k in cons0}
-    result = {
-        "spec": spec, "n_dofs": int(n_dofs), "steps": args.steps,
-        "devices": args.devices, "precision": args.precision,
-        "pc": args.pc, "rtol": args.rtol,
-        "glia_tags": n_glia_tags,
-        "warm_start": ("extrapolated" if extrap is not None else "previous"),
-        "setup_seconds": round(setup_s, 1),
-        "first_step_seconds": round(t_first, 1),
-        "sec_per_step_warm": round(float(np.mean(times)), 3) if times else None,
-        "iterations": its_series,
-        "iterations_mean": round(float(np.mean(its_series)), 2),
-        "conservation_initial": cons0,
-        "conservation_final": consN,
-        "conservation_rel_drift": cons_drift,
-        "l2_norms": norms,
-        "final_real_precond_residual": rel,
-        "final_residual_vs_eager_reassembly": rel_reassembled,
-        "platform": args.platform,
-        "warm_started_from_unsharded_step": resumed_from,
-    }
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(f"[done] wrote {args.out}", flush=True)
-    print(json.dumps({k: v for k, v in result.items()
-                      if k != "iterations"}, indent=1))
+    write_result(rel, rel_reassembled)
 
 
 if __name__ == "__main__":
