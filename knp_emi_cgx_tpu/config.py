@@ -223,12 +223,13 @@ def parse_config(config: dict[str, Any], base_dir: str = ".") -> SimulationConfi
     c.C_M_value = float(config.get("C_M", 1.0))
     c.mesh_conversion_factor = float(config.get("mesh_conversion_factor", 1.0))
     c.fem_order = int(config.get("fem_order", 1))
-    if c.fem_order != 1:
-        # advertised schema surface must not silently no-op: only P1 exists
-        # (the reference parses fem_order too but all its configs use 1,
-        # mixed_dim_problem.py:207-208)
+    if c.fem_order not in (1, 2):
+        # advertised schema surface must not silently no-op: P1/P2 exist
+        # (the reference parses fem_order too but all its configs use 1 and
+        # order>1 silently no-ops there, mixed_dim_problem.py:207-208; our
+        # fem/p2.py makes order 2 actually work)
         raise RuntimeError(
-            f"fem_order={c.fem_order} is not supported (P1 only)")
+            f"fem_order={c.fem_order} is not supported (P1/P2 only)")
     c.dirichlet_bcs = bool(config.get("dirichlet_bcs", False))
     c.pin_ecs_potential = bool(config.get("pin_ecs_potential", False))
 

@@ -167,19 +167,43 @@ class ProblemEMI:
         topo = self.topo
         mesh = topo.mesh
         dim = mesh.dim
-        nv = dim + 1
-        nV = mesh.num_points
         dtype = self.dtype
+        self.order = order = int(getattr(self.cfg, "fem_order", 1))
 
-        intra, extra = topo.intra_dofs, topo.extra_dofs
+        # dof space: P1 vertices, or the P2 node space (vertices + edge
+        # midpoints — vertex-indexed I/O keeps working on the [:nV] prefix)
+        if order == 2:
+            from knp_emi_cgx_tpu.fem.p2 import (build_node_space,
+                                                facet_shape_values,
+                                                reference_tensors)
+            ns2 = build_node_space(topo, boundary_tags=self.cfg.boundary_tags)
+            self.node_space = ns2
+            n_pts = ns2.n_nodes
+            self.points = ns2.node_points
+            intra, extra = ns2.intra_nodes, ns2.extra_nodes
+            cell_tab = ns2.cell_nodes
+            mtab = ns2.membrane_facet_nodes
+            bset = ns2.boundary_nodes
+            M2, E2, _ = reference_tensors(dim)
+        else:
+            n_pts = mesh.num_points
+            self.points = mesh.points
+            intra, extra = topo.intra_dofs, topo.extra_dofs
+            cell_tab = mesh.cells
+            mtab = topo.membrane_verts
+            bset = topo.boundary_dofs
+        self.n_pts = n_pts
+        self.cell_tab = cell_tab
+        self.mtab_np = mtab
+
         ni, ne = len(intra), len(extra)
         self.ni, self.ne = ni, ne
         self.n_dofs = ni + ne
-        rank_i = np.full(nV, -1, dtype=np.int64)
+        rank_i = np.full(n_pts, -1, dtype=np.int64)
         rank_i[intra] = np.arange(ni)
-        rank_e = np.full(nV, -1, dtype=np.int64)
+        rank_e = np.full(n_pts, -1, dtype=np.int64)
         rank_e[extra] = np.arange(ne)
-        fd = np.full((2, nV), -1, dtype=np.int64)
+        fd = np.full((2, n_pts), -1, dtype=np.int64)
         fd[0] = np.where(rank_i >= 0, rank_i, -1)
         fd[1] = np.where(rank_e >= 0, ni + rank_e, -1)
         self.field_dof = fd
@@ -192,28 +216,39 @@ class ProblemEMI:
         for f, (cells_idx, sigma) in enumerate(
                 ((topo.intra_cells, self.sigma_i),
                  (topo.extra_cells, self.sigma_e))):
-            Vt = mesh.cells[cells_idx]
+            Vt = cell_tab[cells_idx]
             g = grads[cells_idx]
             v = vols[cells_idx]
-            K = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
+            # per-cell P1 metric S_c = vol * (g.g); the P2 stiffness is its
+            # contraction with the static reference tensor E (fem/p2.py)
+            S = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
+            if order == 2:
+                K = np.einsum("cpr,apbr->cab", S, E2)
+                M_e = v[:, None, None] * M2[None, :, :]
+            else:
+                K = S
+                M_e = v[:, None, None] * Mref[None, :, :]
             blk = self.dt * sigma * K
             R = fd[f][Vt][:, :, None]
             C = fd[f][Vt][:, None, :]
             rows.append(np.broadcast_to(R, blk.shape).ravel())
             cols.append(np.broadcast_to(C, blk.shape).ravel())
             vals.append(blk.ravel())
-            M_e = v[:, None, None] * Mref[None, :, :]
             self._side_geom.append((Vt, M_e))
 
-        # membrane facet mass blocks
+        # membrane facet mass blocks (measures from the vertex geometry,
+        # shape tables of the chosen order at the same quadrature)
         mverts = topo.membrane_verts
-        Nq, wq = facet_quadrature(dim, degree=10)
+        if order == 2:
+            Nq, wq = facet_shape_values(dim, degree=10)
+        else:
+            Nq, wq = facet_quadrature(dim, degree=10)
         L_f = facet_geometry(mesh.points, mverts)
         NN = np.einsum("q,qa,qb->ab", wq, Nq, Nq)
         Mg = self.C_M * L_f[:, None, None] * NN[None, :, :]
         for (rf, cf, sgn) in ((0, 0, 1.0), (0, 1, -1.0), (1, 0, -1.0), (1, 1, 1.0)):
-            R = fd[rf][mverts][:, :, None]
-            C = fd[cf][mverts][:, None, :]
+            R = fd[rf][mtab][:, :, None]
+            C = fd[cf][mtab][:, None, :]
             rows.append(np.broadcast_to(R, Mg.shape).ravel())
             cols.append(np.broadcast_to(C, Mg.shape).ravel())
             vals.append((sgn * Mg).ravel())
@@ -231,7 +266,7 @@ class ProblemEMI:
         self.bc_value = float((self.cfg.initial_conditions or {}).get(
             "phi_e", 0.0))
         if self.cfg.dirichlet_bcs:
-            d = fd[1][topo.boundary_dofs]
+            d = fd[1][bset]
             bc_flag[d[d >= 0]] = True
             A = A.tolil()
             g = np.zeros(self.n_dofs)
@@ -252,14 +287,14 @@ class ProblemEMI:
         self.row_ids = expand_row_ids(A.indptr)
         self.A_vals = jnp.asarray(A.data, dtype=dtype)
 
-        # facet RHS structure: C_M*phi_M - dt*I_ch integrated against P1
+        # facet RHS structure: C_M*phi_M - dt*I_ch integrated against the
         # facet shape functions; per-facet model masks
-        self.mverts = jnp.asarray(mverts, dtype=jnp.int32)
+        self.mverts = jnp.asarray(mtab, dtype=jnp.int32)
         self.LwN = jnp.asarray(
             np.einsum("f,q,qa->fqa", L_f, wq, Nq), dtype=dtype)
         self.Nq = jnp.asarray(Nq, dtype=dtype)
-        rhs_rows = np.concatenate([fd[0][mverts].ravel(),
-                                   fd[1][mverts].ravel()])
+        rhs_rows = np.concatenate([fd[0][mtab].ravel(),
+                                   fd[1][mtab].ravel()])
         self.rhs_rows = jnp.asarray(rhs_rows, dtype=jnp.int32)
 
         # volume geometry for sources (device)
@@ -269,7 +304,7 @@ class ProblemEMI:
             self._vsrc.append({
                 "rows": jnp.asarray(fd[f][Vt].ravel(), dtype=jnp.int32),
                 "M_e": jnp.asarray(M_e, dtype=dtype),
-                "pts": jnp.asarray(mesh.points[Vt], dtype=dtype),
+                "pts": jnp.asarray(self.points[Vt], dtype=dtype),
             })
 
         # nullspace (all-ones over both potentials, EMIx_solver.py:194-216)
@@ -284,11 +319,11 @@ class ProblemEMI:
 
     # ------------------------------------------------------------------
     def initial_state(self) -> EMIState:
-        nV = self.topo.mesh.num_points
+        nV = self.n_pts
         dt = self.dtype
         phi = np.zeros((2, nV))
         if self.phi_m_init_fn is not None:
-            phi_m = np.asarray(self.phi_m_init_fn(self.topo.mesh.points))
+            phi_m = np.asarray(self.phi_m_init_fn(self.points))
             phi[0, :] = phi_m
         else:
             phi[0, :] = self.phi_m_init
@@ -407,10 +442,10 @@ class SolverEMI:
             # compartments — the tentative prolongation then reproduces all
             # jump modes exactly.
             topo, mesh = p.topo, p.topo.mesh
-            comp_v = np.zeros(mesh.num_points, dtype=np.int64)
+            comp_v = np.zeros(p.n_pts, dtype=np.int64)
             ic = topo.intra_cells
-            comp_v[mesh.cells[ic].ravel()] = np.repeat(
-                np.asarray(mesh.cell_tags)[ic], mesh.cells.shape[1])
+            comp_v[p.cell_tab[ic].ravel()] = np.repeat(
+                np.asarray(mesh.cell_tags)[ic], p.cell_tab.shape[1])
             components = np.zeros(p.n_dofs, dtype=np.int64)
             fdn = p.field_dof
             act0 = np.nonzero(fdn[0] >= 0)[0]
@@ -418,7 +453,7 @@ class SolverEMI:
             # 2x2 smoothing blocks on (intra,extra) membrane dof partners —
             # pointwise Jacobi cannot damp their difference mode when the
             # membrane mass dominates (C_M >> dt*sigma/h)
-            mv = np.unique(np.asarray(topo.membrane_verts).ravel())
+            mv = np.unique(np.asarray(p.mtab_np).ravel())
             d0, d1 = fdn[0][mv], fdn[1][mv]
             ok = (d0 >= 0) & (d1 >= 0)
             block_pairs = np.stack([d0[ok], d1[ok]], axis=1)
