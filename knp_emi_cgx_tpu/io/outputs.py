@@ -119,17 +119,22 @@ class KNPEMIOutputs:
             self.m_t.append(float(np.asarray(state.m[self.png_vertex])))
             self.h_t.append(float(np.asarray(state.h[self.png_vertex])))
         if self._pe_ics is not None:
-            u = np.asarray(state.u)
+            # vertex prefix: for fem_order=2 the state lives on the node
+            # space (vertices first) — writers/point-eval are vertex-based
+            nV = self.problem.topo.mesh.num_points
+            u = np.asarray(state.u)[:, :nV]
             a = self.problem.assembler
             nvar = a.nvar
             self.ics_vals.append(self._pe_ics(u[:nvar]))
             self.ecs_vals.append(self._pe_ecs(u[nvar:]))
-            self.gamma_vals.append(self._pe_gamma(np.asarray(state.phi_m)))
+            self.gamma_vals.append(
+                self._pe_gamma(np.asarray(state.phi_m)[:nV]))
 
     def _write_xdmf(self, state):
-        u = np.asarray(state.u)
+        nV = self.problem.topo.mesh.num_points
+        u = np.asarray(state.u)[:, :nV]
         fields = {name: u[f] for f, name in self._field_names}
-        fields["phi_m"] = np.asarray(state.phi_m)
+        fields["phi_m"] = np.asarray(state.phi_m)[:nV]
         self._writer.write_fields(float(state.t), fields)
 
     # ------------------------------------------------------------------
@@ -291,10 +296,12 @@ class EMIOutputs:
         self.v_t.append(1000.0 * v)
         self.times.append(float(state.t) * 1000.0)
         if self._writer is not None and (force or i % self.save_interval == 0):
-            phi = np.asarray(state.phi)
+            # vertex prefix (fem_order=2 states live on the node space)
+            nV = self.problem.topo.mesh.num_points
+            phi = np.asarray(state.phi)[:, :nV]
             self._writer.write_fields(float(state.t), {
                 "phi_i": phi[0], "phi_e": phi[1],
-                "phi_m": np.asarray(state.phi_m)})
+                "phi_m": np.asarray(state.phi_m)[:nV]})
 
     def finalize(self):
         if self._writer is not None:

@@ -86,11 +86,17 @@ class KNPEMIAssembler:
                  pinned_dofs: np.ndarray | None = None,
                  source_vertex_values: dict | None = None,
                  mms=None,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1,
+                 node_space=None):
         """pad_multiple: pad per-cell and per-facet dynamic work arrays to a
         multiple of this count (zero-measure dummy entries anchored at a
         membrane vertex, contributing exact zeros) so they shard evenly
-        across a device mesh."""
+        across a device mesh.
+
+        node_space: a fem.p2.P2NodeSpace for fem_order=2 — dofs become P2
+        nodes (vertices + edge midpoints), element tensors the static P2
+        reference contractions, facet coupling the P2 facet shape tables.
+        None (default) keeps the P1 vertex-dof path."""
         mark = _section_timer()
         self.topo = topo
         self.params = params
@@ -99,11 +105,12 @@ class KNPEMIAssembler:
         self.dirichlet_bcs = dirichlet_bcs
         self.mms = mms
         self.pad_multiple = max(1, int(pad_multiple))
+        self.node_space = node_space
+        self.order = 2 if node_space is not None else 1
 
         p = params
         mesh = topo.mesh
         dim = mesh.dim
-        nv = dim + 1
         self.N_ions = N = p.N_ions
         self.nvar = nvar = N + 1
         self.nf = nf = 2 * nvar
@@ -111,22 +118,47 @@ class KNPEMIAssembler:
         self.PHI_E = nvar + N
         nV = mesh.num_points
 
+        # dof-space tables: P1 vertices, or P2 nodes (vertex-id prefix)
+        if self.order == 2:
+            from knp_emi_cgx_tpu.fem.p2 import reference_tensors
+            n_pts = node_space.n_nodes
+            cell_tab = node_space.cell_nodes
+            mtab_real = node_space.membrane_facet_nodes
+            bset = node_space.boundary_nodes
+            pts_nodes = node_space.node_points
+            intra = node_space.intra_nodes
+            extra = node_space.extra_nodes
+            M2, E2, Q2 = reference_tensors(dim)
+        else:
+            n_pts = nV
+            cell_tab = mesh.cells
+            mtab_real = topo.membrane_verts
+            bset = topo.boundary_dofs
+            pts_nodes = mesh.points
+            intra = topo.intra_dofs
+            extra = topo.extra_dofs
+        nv = cell_tab.shape[1]                   # dofs per cell
+        self.n_pts = n_pts
+        self.cell_tab_np = cell_tab
+        self.points_np = pts_nodes
+        self.intra_dofs_np = intra
+        self.extra_dofs_np = extra
+        self.boundary_dofs_np = bset
+
         # ------------------------------------------------------------------
         # Dof restrictions and monolithic numbering
         # ------------------------------------------------------------------
-        intra = topo.intra_dofs
-        extra = topo.extra_dofs
         ni, ne = len(intra), len(extra)
         self.ni, self.ne = ni, ne
         self.n_dofs = nvar * (ni + ne)
 
-        intra_rank = np.full(nV, -1, dtype=np.int64)
+        intra_rank = np.full(n_pts, -1, dtype=np.int64)
         intra_rank[intra] = np.arange(ni)
-        extra_rank = np.full(nV, -1, dtype=np.int64)
+        extra_rank = np.full(n_pts, -1, dtype=np.int64)
         extra_rank[extra] = np.arange(ne)
 
         # field_dof[f, v] -> monolithic index (or huge sentinel if inactive)
-        field_dof = np.full((nf, nV), -1, dtype=np.int64)
+        field_dof = np.full((nf, n_pts), -1, dtype=np.int64)
         for f in range(nvar):
             field_dof[f] = np.where(intra_rank >= 0, f * ni + intra_rank, -1)
         base = nvar * ni
@@ -143,7 +175,7 @@ class KNPEMIAssembler:
         bc_const = np.zeros(self.n_dofs)
         if dirichlet_bcs:
             for f in range(nf):
-                d = field_dof[f, topo.boundary_dofs]
+                d = field_dof[f, bset]
                 d = d[d >= 0]
                 bc_flag[d] = True
                 if mms is None:
@@ -171,9 +203,9 @@ class KNPEMIAssembler:
         Mref = reference_mass(dim)
         self._sides = []
 
-        # a vertex active in every field's restriction (membrane vertices
+        # a dof active in every field's restriction (membrane vertices
         # belong to both compartment closures) — anchor for padded entries
-        safe_vertex = int(topo.membrane_verts[0, 0]) if len(topo.membrane_verts) else 0
+        safe_vertex = int(mtab_real[0, 0]) if len(mtab_real) else 0
         pm = self.pad_multiple
 
         def _padded_count(n):
@@ -189,17 +221,29 @@ class KNPEMIAssembler:
         # to the fixed KNP-EMI block structure.
         pats = {}
         for side, cells_idx in (("i", topo.intra_cells), ("e", topo.extra_cells)):
-            Vt = mesh.cells[cells_idx]                     # [nc, nv]
-            g = grads[cells_idx]                           # [nc, nv, dim]
+            Vt = cell_tab[cells_idx]                       # [nc, nv]
+            g = grads[cells_idx]                           # [nc, d+1, dim]
             v = vols[cells_idx]                            # [nc]
-            K_e = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
-            M_e = v[:, None, None] * Mref[None, :, :]
+            # per-cell P1 metric S_c = vol * (g.g); P2 tensors are its static
+            # reference contractions (fem/p2.py): the per-step drift stays a
+            # single einsum against Q_e just like the P1 coef*K_e path
+            S_c = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
+            if self.order == 2:
+                K_e = np.einsum("cpr,apbr->cab", S_c, E2)
+                M_e = v[:, None, None] * M2[None, :, :]
+                Q_e = np.einsum("cpr,mapbr->cmab", S_c, Q2)
+            else:
+                K_e = S_c
+                M_e = v[:, None, None] * Mref[None, :, :]
+                Q_e = None
             n_pad = _padded_count(Vt.shape[0]) - Vt.shape[0]
             if n_pad:
                 Vt = np.concatenate(
                     [Vt, np.full((n_pad, nv), safe_vertex, dtype=Vt.dtype)])
                 K_e = np.concatenate([K_e, np.zeros((n_pad, nv, nv))])
                 M_e = np.concatenate([M_e, np.zeros((n_pad, nv, nv))])
+                if Q_e is not None:
+                    Q_e = np.concatenate([Q_e, np.zeros((n_pad, nv, nv, nv))])
             phi_f = self.PHI_I if side == "i" else self.PHI_E
             ion_off = 0 if side == "i" else nvar
             Dkey = "Di" if side == "i" else "De"
@@ -231,10 +275,13 @@ class KNPEMIAssembler:
                 "Vt": _dev(Vt, jnp.int32),
                 "K_e": _dev(K_e, dtype),
                 "M_e": _dev(M_e, dtype),
+                "Q_e": _dev(Q_e, dtype) if Q_e is not None else None,
                 "ion_off": ion_off,
                 "phi_f": phi_f,
                 "Dkey": Dkey,
                 "Vt_np": Vt,
+                "K_e_np": K_e,
+                "M_e_np": M_e,
                 # per-entry pair / rank ids: the per-step volume scatters are
                 # pre-summed on device to pair level (matrix) and vertex
                 # level (RHS) before landing in global storage — ~10x less
@@ -249,19 +296,34 @@ class KNPEMIAssembler:
         # ------------------------------------------------------------------
         # Membrane facet data
         # ------------------------------------------------------------------
-        mverts = topo.membrane_verts                        # [n_mf, dim]
+        # geometry stays on the VERTEX table (measures, qp coords, normals);
+        # dof coupling runs on the facet dof table (== vertex table for P1,
+        # vertices + facet edge midpoints for P2)
+        mgeom = topo.membrane_verts                         # [n_mf, dim]
+        mverts = mtab_real                                  # [n_mf, nfn] dofs
         membrane_tags = topo.membrane_tags
-        Nq, wq = facet_quadrature(dim, degree=10)           # [nq, dim], [nq]
+        Nq_geom, wq = facet_quadrature(dim, degree=10)      # [nq, dim], [nq]
+        if self.order == 2:
+            from knp_emi_cgx_tpu.fem.p2 import facet_shape_values
+            Nq, _ = facet_shape_values(dim, degree=10)      # [nq, nfn]
+        else:
+            Nq = Nq_geom
         self.nq = Nq.shape[0]
-        L_f = facet_geometry(mesh.points, mverts)
+        L_f = facet_geometry(mesh.points, mgeom)
         n_fpad = _padded_count(mverts.shape[0]) - mverts.shape[0]
         if n_fpad:
             mverts = np.concatenate(
-                [mverts, np.full((n_fpad, dim), safe_vertex, dtype=mverts.dtype)])
+                [mverts, np.full((n_fpad, mverts.shape[1]), safe_vertex,
+                                 dtype=mverts.dtype)])
+            mgeom = np.concatenate(
+                [mgeom, np.full((n_fpad, dim), int(mgeom[0, 0]) if len(mgeom)
+                                else 0, dtype=mgeom.dtype)])
             L_f = np.concatenate([L_f, np.zeros(n_fpad)])
             membrane_tags = np.concatenate(
                 [membrane_tags, np.full(n_fpad, -1, dtype=membrane_tags.dtype)])
         self.n_mf = n_mf = mverts.shape[0]
+        self.mtab_np = mverts
+        self.Nq_np, self.wq_np, self.L_f_np = Nq, wq, L_f
 
         # per-model facet masks
         gamma_tags = np.unique(topo.membrane_tags)
@@ -287,7 +349,7 @@ class KNPEMIAssembler:
         self.has_stimulus = bool(self.stim_facet_mask_np.any())
 
         # spatial stimulus-region mask at quadrature points (static geometry)
-        qp_x = np.einsum("fdk,qd->fqk", mesh.points[mverts], Nq)  # [n_mf, nq, dim]
+        qp_x = np.einsum("fdk,qd->fqk", mesh.points[mgeom], Nq_geom)  # [n_mf, nq, dim]
         region = np.ones((n_mf, self.nq))
         sr_range = getattr(params, "stimulus_region_range", None)
         sr_dirs = getattr(params, "stimulus_region_directions", None)
@@ -311,7 +373,7 @@ class KNPEMIAssembler:
         # patterns
         fd = field_dof
         mv = mverts
-        d = dim
+        d = mv.shape[1]                                    # dofs per facet
         fri = intra_rank[mv]                               # [n_mf, d]
         fre = extra_rank[mv]
         if np.any(fri < 0) or np.any(fre < 0):
@@ -572,7 +634,7 @@ class KNPEMIAssembler:
             rhs_rows.append(field_dof[f][mv].ravel())
 
         if mms is not None:
-            self._setup_mms(rhs_rows, mverts, L_f, Nq, wq)
+            self._setup_mms(rhs_rows, mverts, mgeom, L_f, wq)
 
         rhs_rows_np = np.concatenate(rhs_rows)
         self.rhs_rows = _dev(rhs_rows_np, jnp.int32)
@@ -591,7 +653,7 @@ class KNPEMIAssembler:
         self.region_qp = _dev(region, dtype)
 
         # per-field vertex source arrays (ion injection etc.)
-        src = np.zeros((nf, nV))
+        src = np.zeros((nf, n_pts))
         for k, ion in enumerate(p.ion_list):
             src[k, :] = ion.get("f_i", 0.0)
             src[nvar + k, :] = ion.get("f_e", 0.0)
@@ -621,8 +683,9 @@ class KNPEMIAssembler:
         "_lift_dyn_mask", "_dyn_rows", "_dyn_cols",
         "_mms_arrays", "_mms_bc_entries", "const_bc_values",
     )
-    SIDE_ATTRS = ("Vt", "K_e", "M_e", "pair_id", "rank_flat", "vol_slots",
-                  "vol_keep", "vol_lift_mask", "vol_rows", "vol_cols")
+    SIDE_ATTRS = ("Vt", "K_e", "M_e", "Q_e", "pair_id", "rank_flat",
+                  "vol_slots", "vol_keep", "vol_lift_mask", "vol_rows",
+                  "vol_cols")
 
     def device_state(self):
         from knp_emi_cgx_tpu.utils.devicestate import collect
@@ -660,6 +723,8 @@ class KNPEMIAssembler:
             raise RuntimeError("apply_vertex_remap may only be called once")
         if self.mms is not None:
             raise RuntimeError("vertex remap does not support MMS problems")
+        if self.order != 1:
+            raise RuntimeError("the dof-sharded path supports P1 only")
         newpos_v = np.asarray(newpos_v)
         it = jnp.int32
         self.mverts = jnp.asarray(
@@ -780,8 +845,11 @@ class KNPEMIAssembler:
         n[flip] *= -1.0
         return n
 
-    def _setup_mms(self, rhs_rows, mverts, L_f, Nq, wq):
-        from knp_emi_cgx_tpu.fem.p1 import cell_quadrature, facet_geometry
+    def _setup_mms(self, rhs_rows, mverts, mgeom, L_f, wq):
+        """mverts: facet DOF table (padded); mgeom: facet VERTEX table
+        (padded, for measures/coords/normals — identical for P1)."""
+        from knp_emi_cgx_tpu.fem.p1 import (cell_quadrature, facet_geometry,
+                                            facet_quadrature)
 
         topo = self.topo
         mesh = topo.mesh
@@ -790,18 +858,25 @@ class KNPEMIAssembler:
         N, nvar = self.N_ions, self.nvar
         dtype = self.dtype
         md = {}
+        Nq_geom, _ = facet_quadrature(dim, degree=10)
 
         # --- volume source quadrature per side ---
-        Nc, wc = cell_quadrature(dim, degree=10)
+        if self.order == 2:
+            from knp_emi_cgx_tpu.fem.p2 import cell_shape_values
+            Nc, wc = cell_shape_values(dim, degree=10)
+        else:
+            Nc, wc = cell_quadrature(dim, degree=10)
         md["Ncell"] = jnp.asarray(Nc, dtype=dtype)
         md["wcell"] = jnp.asarray(wc, dtype=dtype)
         for si, s in enumerate(self._sides):
             Vt_np = s["Vt_np"]
-            coords = mesh.points[Vt_np]                       # [nc, nv, dim]
+            # node coords at the dof table reproduce the affine map exactly
+            # under the matching shape table (P2 interpolates linears)
+            coords = self.points_np[Vt_np]                    # [nc, nv, dim]
             md[f"qp_x_{si}"] = jnp.asarray(
                 np.einsum("cvd,qv->cqd", coords, Nc), dtype=dtype)
             # cell measures (padded cells have zero mass => zero volume)
-            vol = np.asarray(s["M_e"]).sum(axis=(1, 2))
+            vol = s["M_e_np"].sum(axis=(1, 2))
             md[f"vol_{si}"] = jnp.asarray(vol, dtype=dtype)
             for k in range(N):
                 rhs_rows.append(fd[s["ion_off"] + k][Vt_np].ravel())
@@ -809,13 +884,13 @@ class KNPEMIAssembler:
 
         # --- membrane facet qp coords + normals (out of intra, '+') ---
         n_real = len(topo.membrane_cell_intra)
-        fqx = np.einsum("fvd,qv->fqd", mesh.points[mverts], Nq)
+        fqx = np.einsum("fvd,qv->fqd", mesh.points[mgeom], Nq_geom)
         md["facet_qp_x"] = jnp.asarray(fqx, dtype=dtype)
         normals = np.zeros((mverts.shape[0], dim))
         intra_centroid = mesh.points[
             mesh.cells[topo.membrane_cell_intra]].mean(axis=1)
         normals[:n_real] = self._oriented_normals(
-            mesh.points, mverts[:n_real], intra_centroid)
+            mesh.points, mgeom[:n_real], intra_centroid)
         md["facet_normal"] = jnp.asarray(normals, dtype=dtype)
         for k in range(N):
             rhs_rows.append(fd[k][mverts].ravel())
@@ -830,31 +905,34 @@ class KNPEMIAssembler:
         bmask = topo.exterior_facet_mask
         bfacets = topo.facets[bmask]
         bL = facet_geometry(mesh.points, bfacets)
-        bqx = np.einsum("fvd,qv->fqd", mesh.points[bfacets], Nq)
+        bqx = np.einsum("fvd,qv->fqd", mesh.points[bfacets], Nq_geom)
         cell_centroid = mesh.points[
             mesh.cells[topo.facet_cells[bmask, 0]]].mean(axis=1)
         bn = self._oriented_normals(mesh.points, bfacets, cell_centroid)
         md["bqp_x"] = jnp.asarray(bqx, dtype=dtype)
         md["bnormal"] = jnp.asarray(bn, dtype=dtype)
         md["bL"] = jnp.asarray(bL, dtype=dtype)
+        btab = (self.node_space.facet_nodes(bfacets)
+                if self.order == 2 else bfacets)
         for k in range(N):
-            rhs_rows.append(fd[nvar + k][bfacets].ravel())
-        rhs_rows.append(fd[self.PHI_E][bfacets].ravel())
+            rhs_rows.append(fd[nvar + k][btab].ravel())
+        rhs_rows.append(fd[self.PHI_E][btab].ravel())
 
         # --- Dirichlet values: extracellular exact fields at boundary dofs
         # (KNPEMIx_problem.py:109-134 — MMS BCs only on the We fields) ---
-        bdofs_v = topo.boundary_dofs
+        bdofs_v = self.boundary_dofs_np
+        bpts = self.points_np[bdofs_v]
         bc_entries = {}
         for k, ion in enumerate(self.params.ion_list):
             f = nvar + k
             dofs = fd[f][bdofs_v]
             bc_entries[f"{ion['name']}_e"] = (
                 jnp.asarray(dofs[dofs >= 0], dtype=jnp.int32),
-                jnp.asarray(mesh.points[bdofs_v][dofs >= 0], dtype=dtype))
+                jnp.asarray(bpts[dofs >= 0], dtype=dtype))
         dofs = fd[self.PHI_E][bdofs_v]
         bc_entries["phi_e"] = (
             jnp.asarray(dofs[dofs >= 0], dtype=jnp.int32),
-            jnp.asarray(mesh.points[bdofs_v][dofs >= 0], dtype=dtype))
+            jnp.asarray(bpts[dofs >= 0], dtype=dtype))
         self._mms_bc_entries = bc_entries
         self._mms_arrays = md
 
@@ -1023,18 +1101,31 @@ class KNPEMIAssembler:
             phi_coef = 0.0
             for k, ion in enumerate(p.ion_list):
                 D, z = ion[Dkey], ion["z"]
-                kmean = jnp.mean(u[ion_off + k][Vt], axis=1)          # [nc]
-                coefs.append((dt * D * z / p.psi) * kmean)
-                phi_coef = phi_coef + (dt * z * z * D / p.psi) * kmean
+                kvals = u[ion_off + k][Vt]                            # [nc, nv]
+                if self.order == 2:
+                    # drift block = sum_m c_m * Q_e[c,m,a,b]: keep the full
+                    # nodal coefficient (the P1 cell-mean is only exact for
+                    # constant-gradient test pairs)
+                    coefs.append((dt * D * z / p.psi) * kvals)
+                    phi_coef = phi_coef + (dt * z * z * D / p.psi) * kvals
+                else:
+                    kmean = jnp.mean(kvals, axis=1)                   # [nc]
+                    coefs.append((dt * D * z / p.psi) * kmean)
+                    phi_coef = phi_coef + (dt * z * z * D / p.psi) * kmean
                 # RHS: (k_prev, v) + dt*(f, v), pre-summed to rank level
-                fvals = u[ion_off + k][Vt] + dt * self.src[ion_off + k][Vt]
+                fvals = kvals + dt * self.src[ion_off + k][Vt]
                 contrib = jnp.einsum("cab,cb->ca", M_e, fvals)
                 rhs_vals.append(jax.ops.segment_sum(
                     contrib.reshape(-1), s["rank_flat"],
                     num_segments=s["nside"]))
             coefs.append(phi_coef)
-            C = jnp.stack(coefs)                                      # [nvar, nc]
-            prods = (C[:, :, None, None] * K_e[None]).reshape(self.nvar, -1)
+            if self.order == 2:
+                C = jnp.stack(coefs)                                  # [nvar, nc, nn]
+                prods = jnp.einsum("vcm,cmab->vcab",
+                                   C, s["Q_e"]).reshape(self.nvar, -1)
+            else:
+                C = jnp.stack(coefs)                                  # [nvar, nc]
+                prods = (C[:, :, None, None] * K_e[None]).reshape(self.nvar, -1)
             pv = jax.ops.segment_sum(prods.T, s["pair_id"],
                                      num_segments=s["E"])             # [E, nvar]
             pvf = pv.T.reshape(-1)           # block-major [(k,phi)..., (phi,phi)]

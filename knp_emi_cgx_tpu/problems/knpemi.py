@@ -157,18 +157,42 @@ class ProblemKNPEMI:
                 f"Mismatch between membrane tags {sorted(gamma)} and ionic "
                 f"model tags {sorted(covered)}")
 
-        # pin_ecs_potential: ground phi_e at one non-membrane vertex
+        # fem_order=2: the dof space becomes the P2 node space (vertices +
+        # edge midpoints); vertex-indexed tables are swapped for node tables
+        # (the reference parses fem_order but never exercises >1,
+        # mixed_dim_problem.py:207-208 — our P2 path is real)
+        self.node_space = None
+        if int(getattr(self.cfg, "fem_order", 1)) == 2:
+            from knp_emi_cgx_tpu.fem.p2 import build_node_space
+
+            self.node_space = ns2 = build_node_space(
+                self.topo, boundary_tags=self.cfg.boundary_tags)
+            ct = self.topo.mesh.cell_tags
+            self.neuron_dofs = ns2.node_set(
+                np.isin(ct, self.cfg.neuron_tags))
+            if self.cfg.glia_flag:
+                self.glia_dofs = ns2.node_set(np.isin(ct, self.cfg.glia_tags))
+
+        # pin_ecs_potential: ground phi_e at one non-membrane dof
         # (KNPEMIx_problem.py:163-196) — makes the system nonsingular
         pinned = None
         if self.cfg.pin_ecs_potential and not self.cfg.dirichlet_bcs:
-            mverts = set(np.unique(self.topo.membrane_verts).tolist())
-            pin_vertex = next(int(v) for v in self.topo.extra_dofs
+            if self.node_space is not None:
+                mtab = self.node_space.membrane_facet_nodes
+                intra_tab = self.node_space.intra_nodes
+                extra_tab = self.node_space.extra_nodes
+            else:
+                mtab = self.topo.membrane_verts
+                intra_tab = self.topo.intra_dofs
+                extra_tab = self.topo.extra_dofs
+            mverts = set(np.unique(mtab).tolist())
+            pin_vertex = next(int(v) for v in extra_tab
                               if int(v) not in mverts)
             nvar = self.params.N_ions + 1
             # field_dof not built yet; compute the monolithic index directly
-            ni = len(self.topo.intra_dofs)
-            ne = len(self.topo.extra_dofs)
-            rank = int(np.searchsorted(self.topo.extra_dofs, pin_vertex))
+            ni = len(intra_tab)
+            ne = len(extra_tab)
+            rank = int(np.searchsorted(extra_tab, pin_vertex))
             pinned = np.array([nvar * ni + self.params.N_ions * ne + rank])
             self._pinned_vertex = pin_vertex
 
@@ -186,6 +210,7 @@ class ProblemKNPEMI:
             pinned_dofs=pinned,
             source_vertex_values=sources,
             mms=self.mms,
+            node_space=self.node_space,
         )
 
     def _build_injection_sources(self):
@@ -206,12 +231,17 @@ class ProblemKNPEMI:
             raise RuntimeError("Ion injection region contains no cells")
         I = 5e-9                      # 5 nA (KNPEMIx_problem.py:211)
         src = I / p.F / vol           # [mol/m^3/s]
-        inj_verts = np.unique(mesh.cells[inj_cells].ravel())
+        if self.node_space is not None:
+            inj_verts = self.node_space.node_set(np.nonzero(inj_cells)[0])
+            n_pts = self.node_space.n_nodes
+        else:
+            inj_verts = np.unique(mesh.cells[inj_cells].ravel())
+            n_pts = mesh.num_points
         nvar = p.N_ions + 1
         out = {}
         for name in ("K", "Cl"):
             f = nvar + p.ion_index[name]   # extracellular fields
-            vals = np.zeros(mesh.num_points)
+            vals = np.zeros(n_pts)
             vals[inj_verts] = src
             out[f] = vals
         self.injection_volume = float(vol)
@@ -225,7 +255,7 @@ class ProblemKNPEMI:
         a = self.assembler
         if a is None:
             raise RuntimeError("Call init_ionic_models first")
-        nV = self.topo.mesh.num_points
+        nV = a.n_pts        # P1: mesh vertices; P2: vertices + edge midpoints
         nf = a.nf
         u = np.zeros((nf, nV))
         phi_m = np.zeros(nV)
@@ -234,7 +264,7 @@ class ProblemKNPEMI:
             # interpolate exact solutions at t=0 (KNPEMIx_problem.py:363-431);
             # phi fields get the "init" visualisation values and phi_m_prev
             # starts at phi_i_init - phi_e_init = 0, exactly as the reference
-            pts = self.topo.mesh.points
+            pts = a.points_np
             for k, ion in enumerate(p.ion_list):
                 u[k] = self.mms.exact_numpy(f"{ion['name']}_i", pts, 0.0)
                 u[a.nvar + k] = self.mms.exact_numpy(f"{ion['name']}_e", pts, 0.0)
@@ -328,16 +358,23 @@ class ProblemKNPEMI:
 
         a = self.assembler
         mesh = self.topo.mesh
-        Nc, wc = cell_quadrature(mesh.dim, degree=10)
+        if a.order == 2:
+            from knp_emi_cgx_tpu.fem.p2 import cell_shape_values
+
+            Nc, wc = cell_shape_values(mesh.dim, degree=10)
+        else:
+            Nc, wc = cell_quadrature(mesh.dim, degree=10)
         t = float(state.t)
         u = np.asarray(state.u, dtype=np.float64)
         errors = {}
         for si, s in enumerate(a._sides):
             side = "i" if si == 0 else "e"
-            Vt = np.asarray(s["Vt"])
-            coords = mesh.points[Vt]                       # [nc, nv, dim]
+            Vt = s["Vt_np"]
+            # node coords under the matching shape table reproduce the
+            # affine map exactly (P2 interpolates linears)
+            coords = a.points_np[Vt]                       # [nc, nv, dim]
             qp_x = np.einsum("cvd,qv->cqd", coords, Nc)
-            vol = np.asarray(s["M_e"], dtype=np.float64).sum(axis=(1, 2))
+            vol = s["M_e_np"].sum(axis=(1, 2))
             names = ([(k, f"{ion['name']}_{side}")
                       for k, ion in enumerate(self.params.ion_list)]
                      + [(self.params.N_ions, f"phi_{side}")])

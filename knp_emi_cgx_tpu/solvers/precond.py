@@ -21,6 +21,12 @@ Application modes:
   * "chebyshev" — matrix-free Chebyshev iterations on each SPD block with
     host-estimated spectral bounds (scales to large 3D meshes; the AMG
     V-cycle upgrade hooks in here).
+  * "amg" — SA-AMG V-cycle per block (the hypre-BoomerAMG role).
+  * "amg_phi" — "amg" for the concentration blocks + ONE joint hierarchy
+    for the (phi_i, phi_e) pair keeping the membrane capacitive
+    cross-coupling (the EMI-solver recipe; see `jphi_of` below).
+  * "amg2" — one joint-phi monolithic hierarchy over all 8 fields
+    (measured worse than "amg" at the bench point; kept as an option).
 """
 from __future__ import annotations
 
@@ -29,65 +35,67 @@ import jax
 import jax.numpy as jnp
 
 import scipy.sparse as sp
-import scipy.sparse.linalg as spla
-
-from knp_emi_cgx_tpu.fem.p1 import (cell_geometry, facet_geometry,
-                                    facet_quadrature, reference_mass)
 
 
 def _build_blocks(assembler, u0_np):
-    """Host-side assembly of the per-field preconditioner blocks (CSR)."""
-    topo = assembler.topo
-    p = assembler.params
-    mesh = topo.mesh
-    dim = mesh.dim
-    N = assembler.N_ions
-    nvar = assembler.nvar
+    """Host-side assembly of the per-field preconditioner blocks (CSR).
 
-    grads, vols = cell_geometry(mesh.points, mesh.cells)
-    Mref = reference_mass(dim)
+    Consumes the assembler's stored host tables (`_sides[..]["K_e_np"]`,
+    `mtab_np`, ...) instead of recomputing P1 geometry, so the blocks match
+    the operator's element space for any fem_order (P1 or P2).
+
+    Dirichlet rows/cols are eliminated to identity exactly like the
+    operator's (the reference assembles P with the same BCs,
+    KNPEMIx_solver.py:125-133): without this the BC rows' unit diagonal
+    sits ~1e4 above the physical scale in the preconditioned spectrum and
+    restarted GMRES stagnates on MMS/Dirichlet problems."""
+    a = assembler
+    p = a.params
+    bc_flag = a.bc_flag_np
+
+    def _with_bcs(B, off):
+        bcf = bc_flag[off:off + B.shape[0]]
+        if not bcf.any():
+            return B.tocsr()
+        D = sp.diags((~bcf).astype(float))
+        return (D @ B @ D + sp.diags(bcf.astype(float))).tocsr()
 
     blocks = []
-    for side, cells_idx, dofs in (
-        ("i", topo.intra_cells, topo.intra_dofs),
-        ("e", topo.extra_cells, topo.extra_dofs),
-    ):
+    for s in a._sides:
+        side_i = s["ion_off"] == 0
+        dofs = a.intra_dofs_np if side_i else a.extra_dofs_np
         nloc = len(dofs)
-        rank = np.full(mesh.num_points, -1, dtype=np.int64)
+        rank = np.full(a.n_pts, -1, dtype=np.int64)
         rank[dofs] = np.arange(nloc)
-        Vt = rank[mesh.cells[cells_idx]]
-        g = grads[cells_idx]
-        v = vols[cells_idx]
-        K_e = np.einsum("cai,cbi->cab", g, g) * v[:, None, None]
-        M_e = v[:, None, None] * Mref[None, :, :]
+        Vt_g = s["Vt_np"]                       # padded: zero-valued rows
+        Vt = rank[Vt_g]
+        K_e, M_e = s["K_e_np"], s["M_e_np"]
         R = np.broadcast_to(Vt[:, :, None], K_e.shape).ravel()
         C = np.broadcast_to(Vt[:, None, :], K_e.shape).ravel()
-        Dkey = "Di" if side == "i" else "De"
-        ion_off = 0 if side == "i" else nvar
 
-        phi_coef = np.zeros(len(cells_idx))
+        off0 = sum(b.shape[0] for b in blocks)
+        phi_coef = np.zeros(len(Vt_g))
         for k, ion in enumerate(p.ion_list):
-            D, z = ion[Dkey], ion["z"]
+            D, z = ion[s["Dkey"]], ion["z"]
             vals = (M_e + p.dt * D * K_e).ravel()
-            blocks.append(sp.csr_matrix((vals, (R, C)), shape=(nloc, nloc)))
-            kmean = u0_np[ion_off + k][mesh.cells[cells_idx]].mean(axis=1)
+            blocks.append(_with_bcs(
+                sp.csr_matrix((vals, (R, C)), shape=(nloc, nloc)),
+                off0 + k * nloc))
+            kmean = u0_np[s["ion_off"] + k][Vt_g].mean(axis=1)
             phi_coef += p.dt * z * z * D / p.psi * kmean
 
         vals_phi = (phi_coef[:, None, None] * K_e).ravel()
         B_phi = sp.csr_matrix((vals_phi, (R, C)), shape=(nloc, nloc))
 
         # membrane facet mass on this side's local numbering
-        mverts = topo.membrane_verts
-        Nq, wq = facet_quadrature(dim, degree=10)
-        L_f = facet_geometry(mesh.points, mverts)
-        NN = np.einsum("q,qa,qb->ab", wq, Nq, Nq)
-        fvals = (p.C_M / p.F) * L_f[:, None, None] * NN[None, :, :]
-        fr = rank[mverts]
+        NN = np.einsum("q,qa,qb->ab", a.wq_np, a.Nq_np, a.Nq_np)
+        fvals = (p.C_M / p.F) * a.L_f_np[:, None, None] * NN[None, :, :]
+        fr = rank[a.mtab_np]
         FR = np.broadcast_to(fr[:, :, None], fvals.shape).ravel()
         FC = np.broadcast_to(fr[:, None, :], fvals.shape).ravel()
         B_phi = B_phi + sp.csr_matrix((fvals.ravel(), (FR, FC)),
                                       shape=(nloc, nloc))
-        blocks.append(B_phi)
+        blocks.append(_with_bcs(B_phi, off0 + p.N_ions * nloc))
     # ordering: [ion_i x N, phi_i, ion_e x N, phi_e] — matches field layout
     return blocks
 
@@ -124,22 +132,19 @@ def build_monolithic_precond(assembler, u0_np, joint_phi: bool = False):
     block_pairs = None
 
     if joint_phi:
-        topo = assembler.topo
-        mesh = topo.mesh
-        p = assembler.params
-        dim = mesh.dim
+        a = assembler
+        mesh = a.topo.mesh
+        p = a.params
         off_phi = {0: offsets[N], 1: offsets[2 * N + 1]}   # phi_i, phi_e
         ranks = []
-        for dofs in (topo.intra_dofs, topo.extra_dofs):
-            r = np.full(mesh.num_points, -1, dtype=np.int64)
+        for dofs in (a.intra_dofs_np, a.extra_dofs_np):
+            r = np.full(a.n_pts, -1, dtype=np.int64)
             r[dofs] = np.arange(len(dofs))
             ranks.append(r)
 
-        mverts = topo.membrane_verts
-        Nq, wq = facet_quadrature(dim, degree=10)
-        L_f = facet_geometry(mesh.points, mverts)
-        NN = np.einsum("q,qa,qb->ab", wq, Nq, Nq)
-        fvals = (p.C_M / p.F) * L_f[:, None, None] * NN[None, :, :]
+        mverts = a.mtab_np
+        NN = np.einsum("q,qa,qb->ab", a.wq_np, a.Nq_np, a.Nq_np)
+        fvals = (p.C_M / p.F) * a.L_f_np[:, None, None] * NN[None, :, :]
         gi = off_phi[0] + ranks[0][mverts]                 # [n_mf, nv]
         ge = off_phi[1] + ranks[1][mverts]
         R = np.broadcast_to(gi[:, :, None], fvals.shape).ravel()
@@ -151,10 +156,10 @@ def build_monolithic_precond(assembler, u0_np, joint_phi: bool = False):
         # phi components: per-biological-cell labels for phi_i, one ECS
         # label for phi_e (aggregates never span compartments — the
         # tentative prolongation reproduces every jump mode exactly)
-        comp_v = np.zeros(mesh.num_points, dtype=np.int64)
-        ic = topo.intra_cells
-        comp_v[mesh.cells[ic].ravel()] = np.repeat(
-            np.asarray(mesh.cell_tags)[ic], mesh.cells.shape[1])
+        comp_v = np.zeros(a.n_pts, dtype=np.int64)
+        ic = a.topo.intra_cells
+        comp_v[a.cell_tab_np[ic].ravel()] = np.repeat(
+            np.asarray(mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
         base = len(blocks)
         act_i = np.nonzero(ranks[0] >= 0)[0]
         components[off_phi[0] + ranks[0][act_i]] = base + comp_v[act_i]
@@ -238,11 +243,76 @@ class BlockDiagonalPreconditioner:
             return ("amg", SmoothedAggregationAMG(b.tocsr(), dtype=dtype,
                                                   df=df, cache=cache))
 
+        def jphi_of(bi, be):
+            """Joint (phi_i, phi_e) SA-AMG: the 2x2 potential subsystem
+            [[B_i, -aM], [-aM^T, B_e]] (a = C_M/F) KEEPS the membrane
+            capacitive cross-coupling that block-diagonal P drops — the
+            dominant coupling on dense-tissue meshes, and exactly the
+            EMI-operator structure the EMI solver already conquers at 6-7
+            its with compartment-split aggregates + 2x2 membrane-pair
+            smoothing (problems/emi.py:432-463).  Unlike `amg2` (one
+            hierarchy over all 8 fields, measured WORSE at the bench point)
+            this keeps the well-conditioned concentration blocks on their
+            own solvers and spends the joint hierarchy only where the
+            coupling lives."""
+            from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
+
+            a = assembler
+            p = a.params
+            ni, ne = bi.shape[0], be.shape[0]
+            rank_i = np.full(a.n_pts, -1, dtype=np.int64)
+            rank_i[a.intra_dofs_np] = np.arange(ni)
+            rank_e = np.full(a.n_pts, -1, dtype=np.int64)
+            rank_e[a.extra_dofs_np] = np.arange(ne)
+
+            NN = np.einsum("q,qa,qb->ab", a.wq_np, a.Nq_np, a.Nq_np)
+            fvals = (p.C_M / p.F) * a.L_f_np[:, None, None] * NN[None, :, :]
+            gi = rank_i[a.mtab_np]                      # [n_mf, nfn]
+            ge = ni + rank_e[a.mtab_np]
+            R = np.broadcast_to(gi[:, :, None], fvals.shape).ravel()
+            C = np.broadcast_to(ge[:, None, :], fvals.shape).ravel()
+            nj = ni + ne
+            cross = sp.csr_matrix((-fvals.ravel(), (R, C)), shape=(nj, nj))
+            # Dirichlet/pinned dofs keep their identity rows: zero the cross
+            # coupling there (bi/be already BC-eliminated in _build_blocks)
+            bcf = np.concatenate([
+                a.bc_flag_np[self.offsets[N]:self.offsets[N] + ni],
+                a.bc_flag_np[self.offsets[2 * N + 1]:
+                             self.offsets[2 * N + 1] + ne]])
+            if bcf.any():
+                Dm = sp.diags((~bcf).astype(float))
+                cross = Dm @ cross @ Dm
+            J = (sp.block_diag([bi, be]).tocsr() + cross + cross.T).tocsr()
+            J.sort_indices()
+
+            # aggregates never span biological compartments: per-cell tag
+            # labels on phi_i dofs, one ECS label on phi_e dofs
+            comp_node = np.zeros(a.n_pts, dtype=np.int64)
+            ic = a.topo.intra_cells
+            comp_node[a.cell_tab_np[ic].ravel()] = np.repeat(
+                np.asarray(a.topo.mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
+            components = np.zeros(nj, dtype=np.int64)
+            components[:ni] = comp_node[a.intra_dofs_np] + 1
+
+            # 2x2 smoothing blocks on (phi_i, phi_e) membrane dof partners
+            mv = np.unique(a.mtab_np)
+            pairs = np.stack([rank_i[mv], ni + rank_e[mv]], axis=1)
+
+            amg = SmoothedAggregationAMG(
+                J, dtype=dtype, df=df, cache=cache, smooth_iters=3,
+                components=components, block_pairs=pairs)
+            return ("jphi", {"amg": amg, "ni": ni, "e_idx": 2 * N + 1})
+
         self.apply_blocks = []
         for i, b in enumerate(blocks):
             if mode == "dense" or (mode == "mixed" and i in phi_blocks):
                 self.apply_blocks.append(dense_of(i, b))
-            elif mode == "amg":
+            elif mode == "amg_phi" and i in phi_blocks:
+                if i == N:
+                    self.apply_blocks.append(jphi_of(b, blocks[2 * N + 1]))
+                else:
+                    self.apply_blocks.append(("skip", None))
+            elif mode in ("amg", "amg_phi"):
                 # AMG V-cycle on every block: mesh-robust and O(n), the
                 # hypre-BoomerAMG equivalent (scales to 3D tissue meshes)
                 self.apply_blocks.append(amg_of(i, b))
@@ -264,6 +334,10 @@ class BlockDiagonalPreconditioner:
                 out.append(data)
             elif kind == "amg":
                 out.append(data.device_state())
+            elif kind == "jphi":
+                out.append(data["amg"].device_state())
+            elif kind == "skip":
+                out.append(None)
             else:
                 out.append({k: data[k] for k in
                             ("indices", "row_ids", "vals", "dinv")})
@@ -281,6 +355,12 @@ class BlockDiagonalPreconditioner:
             elif kind == "amg":
                 old.append(data.install(d))
                 new_blocks.append((kind, data))
+            elif kind == "jphi":
+                old.append(data["amg"].install(d))
+                new_blocks.append((kind, data))
+            elif kind == "skip":
+                old.append(None)
+                new_blocks.append((kind, data))
             else:
                 old.append({k: data[k] for k in d})
                 data = dict(data)
@@ -293,12 +373,21 @@ class BlockDiagonalPreconditioner:
         if self.mode == "amg2":
             return self._joint(r)
         outs = []
+        z_e = None
         for i, (kind, data) in enumerate(self.apply_blocks):
             seg = r[self.offsets[i]:self.offsets[i + 1]]
             if kind == "dense":
                 outs.append(data @ seg)
             elif kind == "amg":
                 outs.append(data(seg))
+            elif kind == "jphi":
+                e = data["e_idx"]
+                r_e = r[self.offsets[e]:self.offsets[e + 1]]
+                z = data["amg"](jnp.concatenate([seg, r_e]))
+                outs.append(z[:data["ni"]])
+                z_e = z[data["ni"]:]
+            elif kind == "skip":
+                outs.append(z_e)
             else:
                 outs.append(_chebyshev(data, seg))
         return jnp.concatenate(outs)
@@ -312,6 +401,7 @@ class BlockDiagonalPreconditioner:
         if self.mode == "amg2":
             return self._joint.apply_df(rh, rl)
         outs_h, outs_l = [], []
+        ze_h = ze_l = None
         for i, (kind, data) in enumerate(self.apply_blocks):
             sh = rh[self.offsets[i]:self.offsets[i + 1]]
             sl = rl[self.offsets[i]:self.offsets[i + 1]]
@@ -319,6 +409,17 @@ class BlockDiagonalPreconditioner:
                 yh, yl = dense_mv_df(data.astype(jnp.float32), sh, sl)
             elif kind == "amg":
                 yh, yl = data.apply_df(sh, sl)
+            elif kind == "jphi":
+                e = data["e_idx"]
+                eh = rh[self.offsets[e]:self.offsets[e + 1]]
+                el = rl[self.offsets[e]:self.offsets[e + 1]]
+                zh, zl = data["amg"].apply_df(
+                    jnp.concatenate([sh, eh]), jnp.concatenate([sl, el]))
+                ni = data["ni"]
+                yh, yl = zh[:ni], zl[:ni]
+                ze_h, ze_l = zh[ni:], zl[ni:]
+            elif kind == "skip":
+                yh, yl = ze_h, ze_l
             else:
                 raise NotImplementedError(
                     "df32 apply supports dense/amg block modes")

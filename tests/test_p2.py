@@ -115,3 +115,51 @@ def test_p2_node_space(make):
     assert len(ns.boundary_nodes) > len(np.unique(topo.boundary_dofs))
     # restrictions partition-with-overlap: union covers all nodes
     assert len(np.union1d(ns.intra_nodes, ns.extra_nodes)) == ns.n_nodes
+
+
+def test_p2_physical_stack_end_to_end():
+    """fem_order=2 through the FULL physical pipeline — HH gating (Rush-
+    Larsen at every P2 node), ATP pump, cotransporters, stimulus masks,
+    deflated-direct solve — on the golden-parity square.  The P1 and P2
+    discretisations of the same smooth problem must agree on the phi L2
+    norms to discretisation accuracy, and P2 must conserve ions exactly
+    like P1 (the semi-implicit scheme's structure is order-independent)."""
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
+                                              NeuronalCotransporters)
+    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
+
+    norms, problems, states = {}, {}, {}
+    for order in (1, 2):
+        cfg = load_config("configs/tests/golden_parity.yaml")
+        cfg.fem_order = order
+        cfg.time_steps = 5
+        mesh, tagger = generate_square_geometry(16)
+        mesh._facet_tagger = tagger
+        problem = ProblemKNPEMI(cfg, mesh=mesh)
+        problem.init_ionic_models(
+            [NeuronalCotransporters(), HodgkinHuxley(), ATPPump()])
+        solver = SolverKNPEMI(problem, cfg.solver_config)
+        state = solver.solve()
+        u = np.asarray(state.u)
+        assert np.all(np.isfinite(u))
+        assert u.shape[1] == problem.assembler.n_pts
+        norms[order] = {k: float(v)
+                        for k, v in problem.l2_norms(state).items()}
+        problems[order], states[order] = problem, state
+
+    # P2 state really lives on the node space (vertices + edge midpoints)
+    assert problems[2].assembler.n_pts > problems[1].assembler.n_pts
+
+    for f in ("phi_i", "phi_e"):
+        rel = abs(norms[1][f] - norms[2][f]) / abs(norms[1][f])
+        assert rel < 2e-2, f"{f}: P1 {norms[1][f]:.4e} vs P2 {norms[2][f]:.4e}"
+
+    # conservation-as-assert for the P2 path (print_conservation role,
+    # KNPEMIx_problem.py:807-843)
+    p2 = problems[2]
+    s0 = p2.initial_state()
+    for ion in p2.params.ion_list:
+        tot0 = float(p2.conservation(s0)[ion["name"]])
+        tot = float(p2.conservation(states[2])[ion["name"]])
+        assert abs(tot - tot0) / abs(tot0) < 2e-4, ion["name"]
