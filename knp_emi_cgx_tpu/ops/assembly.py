@@ -723,8 +723,9 @@ class KNPEMIAssembler:
             raise RuntimeError("apply_vertex_remap may only be called once")
         if self.mms is not None:
             raise RuntimeError("vertex remap does not support MMS problems")
-        if self.order != 1:
-            raise RuntimeError("the dof-sharded path supports P1 only")
+        # order-generic: for P2 `newpos_v` is a NODE remap over n_pts
+        # (vertices + edge midpoints) and every table below already indexes
+        # the node space (cell_tab/mtab/src all carry node ids)
         newpos_v = np.asarray(newpos_v)
         it = jnp.int32
         self.mverts = jnp.asarray(

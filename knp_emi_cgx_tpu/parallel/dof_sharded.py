@@ -52,17 +52,22 @@ def unpad_vertex_fields(problem, arr):
 
 
 def vertex_dof_partition(assembler, n_devices: int):
-    """Partition mesh vertices (BFS region growing on the vertex adjacency
-    graph) and map every monolithic dof to its vertex's device.  Returns
-    (vpart [n_vertices], dof_part [n_dofs]).
+    """Partition mesh dof-carrier nodes (BFS region growing on the
+    nodes-sharing-a-cell adjacency graph) and map every monolithic dof to
+    its node's device.  Returns (vpart [n_nodes], dof_part [n_dofs]).
+
+    For P1 the nodes ARE the mesh vertices; for fem_order=2 assemblers the
+    node space is vertices + edge midpoints (`fem/p2.py`) and the same
+    cell-adjacency growth applies unchanged.
 
     `assembler` is duck-typed: anything with .topo.mesh, .field_dof and
-    .n_dofs works (KNPEMIAssembler, ProblemEMI)."""
+    .n_dofs works (KNPEMIAssembler, ProblemEMI); `cell_tab_np`/`n_pts`
+    override the vertex tables when present."""
     import scipy.sparse as sp
 
     mesh = assembler.topo.mesh
-    nV = mesh.num_points
-    cells = mesh.cells
+    nV = getattr(assembler, "n_pts", mesh.num_points)
+    cells = getattr(assembler, "cell_tab_np", mesh.cells)
     nvp = cells.shape[1]
     rows, cols = [], []
     for a in range(nvp):
@@ -237,7 +242,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               cache: bool = False,
                               coarse_on_device0: bool = False,
                               amg_shard_levels: int = 1,
-                              return_system: bool = False):
+                              return_system: bool = False,
+                              fem_order: int | None = None):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -256,6 +262,11 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     the PRODUCTION problem class — 3D many-cell tissue with the full
     neuron+glia membrane stack selected from the config (main.build_models,
     reference main.py:27-45).  None keeps the 2D square + neuronal stack.
+
+    fem_order: override the config's element order (2 = the P2 node space,
+    fem/p2.py — dofs partition over nodes instead of vertices; the halo /
+    AMG / df32 machinery is order-agnostic since it consumes only the
+    monolithic CSR graph).
     """
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.mesh.generation import (generate_square_geometry,
@@ -290,6 +301,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     cfg.solver_config = {"direct": False,
                          "ksp_settings": {"ksp_rtol": rtol,
                                           "pc_mode": pc_mode}}
+    if fem_order is not None:
+        cfg.fem_order = int(fem_order)
     if mesh_spec is None:
         mesh, tagger = generate_square_geometry(n_mesh)
         mesh._facet_tagger = tagger
@@ -306,7 +319,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     problem.assembler = KNPEMIAssembler(
         problem.topo, problem.params, problem.ionic_models,
         dtype=dtype, dirichlet_bcs=cfg.dirichlet_bcs,
-        pad_multiple=n_devices)
+        pad_multiple=n_devices,
+        node_space=getattr(problem, "node_space", None))
     a = problem.assembler
     state = problem.initial_state()
 

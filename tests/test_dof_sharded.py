@@ -108,6 +108,50 @@ def test_dof_sharded_matches_standard_step():
     np.testing.assert_allclose(u_sh, u_ref, rtol=1e-7, atol=1e-11)
 
 
+def test_dof_sharded_p2_matches_standard_step():
+    """fem_order=2 in the dof-sharded path: dofs partition over the P2 NODE
+    space (vertices + edge midpoints, fem/p2.py) and the halo/Krylov/block-
+    preconditioner machinery runs unchanged on the node graph.  3 sharded
+    steps match the unsharded P2 solver within solver tolerance."""
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
+    from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
+                                              NeuronalCotransporters)
+    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
+
+    cpu = jax.devices("cpu")
+    p_sh, s_sh, step_sh, _, halo = build_dof_sharded_problem(
+        8, devices=cpu, n_mesh=8, rtol=1e-10, fem_order=2)
+    a_sh = p_sh.assembler
+    assert a_sh.order == 2
+    # dofs live on the node space, strictly more than the vertices
+    assert a_sh.n_pts == p_sh.node_space.n_nodes
+    assert a_sh.n_pts > p_sh.topo.mesh.num_points
+
+    cfg = load_config("configs/tests/golden_parity.yaml")
+    cfg.fem_order = 2
+    cfg.solver_config = {"direct": False,
+                         "ksp_settings": {"ksp_rtol": 1e-10,
+                                          "pc_mode": "chebyshev"}}
+    mesh, tagger = generate_square_geometry(8)
+    mesh._facet_tagger = tagger
+    problem = ProblemKNPEMI(cfg, mesh=mesh)
+    problem.init_ionic_models(
+        [NeuronalCotransporters(), HodgkinHuxley(), ATPPump()])
+    solver = SolverKNPEMI(problem, cfg.solver_config)
+    state = problem.initial_state()
+    step = solver._build_step(state)
+
+    for _ in range(3):
+        s_sh, its_sh = step_sh(s_sh)
+        state, its = step(state)
+
+    u_sh = unpad_vertex_fields(p_sh, s_sh.u)
+    u_ref = np.asarray(state.u)
+    assert np.all(np.isfinite(u_sh))
+    np.testing.assert_allclose(u_sh, u_ref, rtol=1e-7, atol=1e-11)
+
+
 def test_vertex_partition_covers_all_dofs():
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
