@@ -42,20 +42,25 @@ jax.config.update("jax_enable_x64", True)   # f64 Krylov (emulated on TPU)
 import jax.numpy as jnp
 
 # Operating point: the largest tissue problem the axon TPU runtime runs
-# reliably end-to-end TODAY.  48^3 (603k dofs) and 64^3 (1.35M dofs)
-# assemble, solve and step — each stage verified against readbacks in
-# isolation — but sustained stepping trips an axon runtime defect (device
-# session dies after large long-running launches; see STATUS.md).  The
-# honest benchmark is the validated point; scale-up is gated on the
-# runtime, not on this framework (at 48^3 and 64^3 every pipeline stage
-# — assembly, ELL refresh, compensated matvec, AMG apply, bounded-restart
-# GMRES — runs and reads back correctly in isolation on the chip; see
-# STATUS.md gotcha 8 for the bisection).
-N_MESH = 24
-N_CELLS = 8
+# reliably end-to-end TODAY.  Round-3 session-5 re-probe (STATUS gotcha 8;
+# output/tpu_probe_{32,36,40,48}_s5.log): sustained stepping + readback now
+# PASSES at 32^3x19c (177k dofs, 20 steps) and 36^3x100c (254k dofs — the
+# reference's flagship 100-cell count) and still FAULTS at 40^3 (349k) and
+# 48^3 (603k), so the runtime ceiling moved from ~1e5 to ~3e5 dofs.  The
+# benchmark runs the largest passing point; scale-up beyond it is gated on
+# the runtime, not on this framework (at 48^3 and 64^3 every pipeline
+# stage — assembly, ELL refresh, compensated matvec, AMG apply,
+# bounded-restart GMRES — runs and reads back correctly in isolation).
+N_MESH = int(os.environ.get("BENCH_MESH", "36"))
+N_CELLS = int(os.environ.get("BENCH_CELLS", "100"))
 WARMUP = 3
-STEPS = 50
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 RTOL = 1e-9
+# split_step/launch_outer: the probe-proven launch bounding (three jitted
+# programs, host-chunked restart cycles — bit-identical results); costs
+# ~0.5 ms/step of dispatch, lifts the runtime's fused-program size ceiling
+SPLIT = os.environ.get("BENCH_SPLIT", "auto")
+SPLIT = (N_MESH >= 33) if SPLIT == "auto" else SPLIT == "1"
 BASELINE_US_PER_DOF_STEP = 5.94
 # preconditioner A/B knob (amg = per-block SA-AMG; amg2 = joint-phi
 # monolithic SA-AMG keeping the membrane capacitive cross-coupling)
@@ -72,19 +77,23 @@ def main():
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
     cfg = load_config("configs/tissue/5m_100c.yaml")
-    cfg.intra_tags = tuple(range(2, N_CELLS + 2))
-    cfg.gamma_tags = tuple(range(2, N_CELLS + 2))
-    # ~8% of cells are glial (last tags), mirroring configs/5m/100c.yaml
-    n_glia = max(1, N_CELLS // 12)
-    cfg.glia_tags = tuple(range(N_CELLS + 2 - n_glia, N_CELLS + 2))
-    cfg.neuron_tags = tuple(t for t in cfg.intra_tags
-                            if t not in cfg.glia_tags)
-    cfg.stimulus_tags = (5,)
-    cfg.solver_config = {"direct": False,
-                         "ksp_settings": {"ksp_rtol": RTOL,
-                                          "pc_mode": PC_MODE,
-                                          "precision": "df32",
-                                          "warm_start": WARM_START}}
+    if N_CELLS != 100:        # the config already carries the 100-cell tags
+        cfg.intra_tags = tuple(range(2, N_CELLS + 2))
+        cfg.gamma_tags = tuple(range(2, N_CELLS + 2))
+        # ~8% of cells are glial (last tags), mirroring configs/5m/100c.yaml
+        n_glia = max(1, N_CELLS // 12)
+        cfg.glia_tags = tuple(range(N_CELLS + 2 - n_glia, N_CELLS + 2))
+        cfg.neuron_tags = tuple(t for t in cfg.intra_tags
+                                if t not in cfg.glia_tags)
+        cfg.stimulus_tags = (5,)
+        cfg.membrane_data_tag = cfg.intra_tags[0]
+    ksp = {"ksp_rtol": RTOL,
+           "pc_mode": PC_MODE,
+           "precision": "df32",
+           "warm_start": WARM_START}
+    if SPLIT:
+        ksp.update(split_step=True, launch_outer=2, setup_cache=True)
+    cfg.solver_config = {"direct": False, "ksp_settings": ksp}
 
     tic = time.perf_counter()
     mesh, tagger = generate_tissue_geometry(N_MESH, N_CELLS)
@@ -150,6 +159,7 @@ def main():
             "rtol": RTOL,
             "pc": PC_MODE,
             "warm_start": WARM_START,
+            "split_step": bool(SPLIT),
             "criterion": "preconditioned norm (PETSc KSP semantics), "
                          "df32 compensated solve",
             "setup_seconds": round(setup_s, 2),
