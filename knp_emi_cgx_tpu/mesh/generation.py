@@ -262,6 +262,20 @@ def geometry_from_spec(spec: str):
     import re
 
     spec = spec.split("generate:")[-1]
+    # "_refined" suffixes (stackable, reference configs/5m/100c_refined*.yaml):
+    # generate the base geometry, then uniform-refine with tag inheritance
+    # (cell tags from parents, facet tags geometrically re-applied).
+    n_refine = 0
+    while spec.endswith("_refined"):
+        spec = spec[: -len("_refined")]
+        n_refine += 1
+    if n_refine:
+        from knp_emi_cgx_tpu.mesh.refine import refine_uniform
+
+        mesh, tagger = geometry_from_spec(spec)
+        for _ in range(n_refine):
+            mesh, _ = refine_uniform(mesh)
+        return mesh, tagger
     tissue = re.fullmatch(r"tissue(\d+)x(\d+)c", spec)
     if tissue:
         return generate_tissue_geometry(int(tissue.group(1)),
@@ -443,13 +457,17 @@ def generate_tissue_geometry(n: int, n_cells: int, seed: int = 0,
     lo = (np.stack([sx, sy, sz], axis=1) * pitch + 1) + jit   # grid units
     hi = lo + cell_size                                        # exclusive
 
-    # vertex membership per cell box (grid-aligned: exact comparisons)
-    vert_grid = np.rint(mesh.points / h).astype(np.int64)      # [nV, 3]
-    tags = np.ones(mesh.num_cells, dtype=np.int32)
-    cell_mid = mesh.points[mesh.cells].mean(axis=1) / h        # [nc, 3]
+    # Tet membership via an owner grid: every tet midpoint lies strictly
+    # inside one unit grid cube, so tagging is one gather from an
+    # [n,n,n] owner lookup filled with n_cells small slice assignments —
+    # O(n^3 + n_cells*cell_size^3) instead of the O(n_cells * n_tets)
+    # per-cell scan (which is 3e9 comparisons at 80^3 x 1000 cells).
+    owner = np.ones((n, n, n), dtype=np.int32)                 # 1 = ECS
     for c in range(n_cells):
-        inside = np.all((cell_mid > lo[c]) & (cell_mid < hi[c]), axis=1)
-        tags[inside] = 2 + c
+        owner[lo[c, 0]:hi[c, 0], lo[c, 1]:hi[c, 1], lo[c, 2]:hi[c, 2]] = 2 + c
+    cell_mid = mesh.points[mesh.cells].mean(axis=1) / h        # [nc, 3]
+    cube = np.floor(cell_mid).astype(np.int64)
+    tags = owner[cube[:, 0], cube[:, 1], cube[:, 2]]
     mesh.cell_tags = tags
 
     def tagger(mesh, facets, exterior_mask, facet_cells=None):

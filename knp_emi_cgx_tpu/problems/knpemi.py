@@ -344,6 +344,28 @@ class ProblemKNPEMI:
             norms[name] = jnp.sqrt(sq)
         return norms
 
+    def phi_norm_decomposition(self, state: KNPEMIState, side: int = 1):
+        """Split a potential's L2 norm into its spatial-mean component and
+        the mean-free remainder: returns (norm, mean, deflated_norm) with
+        norm^2 == area*mean^2 + deflated^2.
+
+        Rationale (golden iterative parity): the (phi_i, phi_e) joint
+        constant is a near-null mode of the semi-implicit operator, so an
+        iterative solve leaves a preconditioner-dependent constant in phi
+        that a direct solve fixes exactly.  The reference's iterative
+        golden value (electric_potential_norms_iterative_solver.py:58-77)
+        is sqrt(area)*|that constant| — deflating the mean isolates the
+        solver-independent physics (see tests/test_golden_iterative.py)."""
+        a = self.assembler
+        field = (a.PHI_I, a.PHI_E)[side]
+        s = a._sides[side]
+        vals = state.u[field][s["Vt"]]
+        area = s["M_e"].sum()
+        mean = jnp.einsum("cab,ca->", s["M_e"], vals) / area
+        sq = jnp.einsum("cab,ca,cb->", s["M_e"], vals, vals)
+        deflated = jnp.sqrt(jnp.maximum(sq - area * mean ** 2, 0.0))
+        return jnp.sqrt(sq), mean, deflated
+
     def field_l2_norm(self, state, field: int, side: int):
         a = self.assembler
         s = a._sides[side]

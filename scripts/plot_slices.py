@@ -23,21 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_mesh(spec: str):
-    import re
+    if "generate:" in spec or not os.path.exists(spec):
+        from knp_emi_cgx_tpu.mesh.generation import geometry_from_spec
 
-    from knp_emi_cgx_tpu.mesh.generation import (
-        generate_square_geometry, generate_cube_geometry,
-        generate_tissue_geometry)
-
-    spec = spec.split("generate:")[-1]
-    tissue = re.fullmatch(r"tissue(\d+)x(\d+)c", spec)
-    if tissue:
-        mesh, tagger = generate_tissue_geometry(int(tissue.group(1)),
-                                                int(tissue.group(2)))
-    elif spec.startswith("square"):
-        mesh, tagger = generate_square_geometry(int(spec[6:]))
-    elif spec.startswith("cube"):
-        mesh, tagger = generate_cube_geometry(int(spec[4:]))
+        mesh, tagger = geometry_from_spec(spec)
     else:
         from knp_emi_cgx_tpu.io.xdmf import read_mesh_xdmf
 

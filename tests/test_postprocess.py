@@ -103,7 +103,7 @@ def tissue_checkpoint(tmp_path_factory):
     with open("configs/tissue/test_8c.yaml") as fh:
         raw = yaml.load(fh, Loader=yaml.FullLoader)
     raw["output_dir"] = str(out)
-    raw["time_steps"] = 1
+    raw["time_steps"] = 2
     raw["solver"]["output"] = {"save_cpoints": True, "save_interval": 1}
     cfg_file = str(out / "cfg.yaml")
     with open(cfg_file, "w") as fh:
@@ -135,3 +135,38 @@ def test_plot_geometries(tissue_checkpoint):
     assert len(written) == 2
     for p in written:
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_plot_membrane_potentials(tissue_checkpoint):
+    """plot_membrane_potentials.py analog (reference
+    utils/plot_membrane_potentials.py): per-cell phi_m traces read back
+    from the checkpoint series, probed at the centroid-closest membrane
+    vertex."""
+    from plot_membrane_potentials import (load_series,
+                                          membrane_probe_vertices,
+                                          plot_membrane_potentials)
+    from plot_slices import build_mesh
+
+    out = tissue_checkpoint
+    steps, states = load_series(str(out))
+    assert steps == [1, 2]
+    mesh = build_mesh("generate:tissue16x8c")
+    probes = membrane_probe_vertices(mesh, [2, 3])
+    # probe vertices really lie on the requested cells' membranes
+    for tag, v in probes.items():
+        assert np.isfinite(states[0]["phi_m"][v])
+    path = plot_membrane_potentials(str(out), "generate:tissue16x8c",
+                                    cells=[2, 3])
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_plot_point_checkpoint(tissue_checkpoint):
+    """plot_point_checkpoint.py analog (reference
+    utils/plot_point_checkpoint.py:22-36): ion concentrations at a point,
+    one trace per variable, from the checkpoint series."""
+    from plot_point_checkpoint import plot_point_checkpoint
+
+    out = tissue_checkpoint
+    path = plot_point_checkpoint(str(out), "generate:tissue16x8c",
+                                 [0.5, 0.5, 0.5])
+    assert os.path.exists(path) and os.path.getsize(path) > 1000

@@ -87,3 +87,38 @@ def test_tissue_conservation(tissue_run):
         tot0 = float(problem.conservation(state0)[ion["name"]])
         tot = float(problem.conservation(state)[ion["name"]])
         assert abs(tot - tot0) / abs(tot0) < 2e-4, ion["name"]
+
+
+@pytest.mark.slow
+def test_tissue_1000_cells_smoke():
+    """Reference-envelope cell count (configs/30m/1000c.yaml): 1000 seeded
+    cells, full setup + 1 implicit step on the smallest mesh that fits the
+    lattice (20^3).  Guards the vectorized owner-grid tagging and the
+    !range-tagged 30m_1000c.yaml config plumbing at the 1000-cell count."""
+    import time
+
+    from knp_emi_cgx_tpu.main import main_yaml
+
+    tic = time.perf_counter()
+    problem, solver, state = main_yaml(
+        "configs/tissue/30m_1000c.yaml",
+        overrides={
+            "mesh_file": "generate:tissue20x1000c",
+            "cell_tag_file": "generate:tissue20x1000c",
+            "facet_tag_file": "generate:tissue20x1000c",
+            "time_steps": 1,
+            "solver_config": {
+                "direct": False,
+                "ksp_settings": {"ksp_rtol": 1e-9, "pc_mode": "amg",
+                                 "precision": "df32"},
+                "output": {"save_xdmf": False, "save_pngs": False,
+                           "save_cpoints": False, "save_dat": False},
+            },
+        })
+    wall = time.perf_counter() - tic
+    assert len(problem.cfg.intra_tags) == 1000
+    u = np.asarray(state.u)
+    assert np.all(np.isfinite(u))
+    assert solver.iterations and solver.iterations[-1] < 100
+    print(f"[1000c smoke] total wall {wall:.1f} s, "
+          f"n_dofs={problem.assembler.n_dofs}")
