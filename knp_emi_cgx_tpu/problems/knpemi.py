@@ -423,8 +423,16 @@ class ProblemKNPEMI:
         return out
 
 
-def make_extrapolator(df32_mode: bool):
-    """Jitted device-side warm-start predictor `g = 2*x_k - x_{k-1}`.
+def make_extrapolator(df32_mode: bool, order: int = 1):
+    """Jitted device-side warm-start predictor.
+
+    order=1: `g = 2*x_k - x_{k-1}` (linear in time).
+    order=2: `g = 3*x_k - 3*x_{k-1} + x_{k-2}` (quadratic) — the implicit-
+    Euler trajectory is smooth in t, so on meshes that resolve it the
+    quadratic predictor improves on the linear one (opt-in via
+    `warm_start: extrapolated2`); on very coarse meshes it can cost a few
+    iterations (the noise amplification is ||e||*7 vs *3), so linear stays
+    the default.
 
     Elementwise, so it preserves any dof sharding of the inputs (used by
     both the unsharded SolverKNPEMI loop and the dof-sharded production
@@ -433,16 +441,65 @@ def make_extrapolator(df32_mode: bool):
     with x64 disabled it degrades gracefully to an f32 predictor."""
     use_f64 = jax.config.jax_enable_x64
 
-    def extrap(x_cur, x_prev):
-        if df32_mode and use_f64:
-            from knp_emi_cgx_tpu.solvers.df32 import df_from_f64, df_to_f64
-            g = (2.0 * df_to_f64(x_cur[0], x_cur[1])
-                 - df_to_f64(x_prev[0], x_prev[1]))
-            gh, gl = df_from_f64(g)
-            return jnp.stack([gh, gl])
-        return 2.0 * x_cur - x_prev
+    def _to64(x):
+        from knp_emi_cgx_tpu.solvers.df32 import df_to_f64
+
+        return df_to_f64(x[0], x[1])
+
+    if order == 1:
+        def extrap(x_cur, x_prev):
+            if df32_mode and use_f64:
+                from knp_emi_cgx_tpu.solvers.df32 import df_from_f64
+                g = 2.0 * _to64(x_cur) - _to64(x_prev)
+                gh, gl = df_from_f64(g)
+                return jnp.stack([gh, gl])
+            return 2.0 * x_cur - x_prev
+    elif order == 2:
+        def extrap(x_cur, x_prev, x_prev2):
+            if df32_mode and use_f64:
+                from knp_emi_cgx_tpu.solvers.df32 import df_from_f64
+                g = (3.0 * _to64(x_cur) - 3.0 * _to64(x_prev)
+                     + _to64(x_prev2))
+                gh, gl = df_from_f64(g)
+                return jnp.stack([gh, gl])
+            return 3.0 * x_cur - 3.0 * x_prev + x_prev2
+    else:
+        raise ValueError(f"extrapolation order {order}")
 
     return jax.jit(extrap)
+
+
+class WarmStartPredictor:
+    """Host-side warm-start state machine around `make_extrapolator`:
+    feeds the last 1-2 converged solutions, applies the convergence gate
+    (NEVER extrapolate from an initial guess — see the solve() loop
+    comment), and downgrades quadratic to linear until enough history
+    exists.  Holds at most two extra device vectors; no device->host
+    readbacks (axon-safe)."""
+
+    def __init__(self, df32_mode: bool, order: int = 1):
+        self.order = int(order)
+        self._lin = make_extrapolator(df32_mode, 1)
+        self._quad = (make_extrapolator(df32_mode, 2)
+                      if self.order >= 2 else None)
+        self._p1 = None
+        self._p2 = None
+        self._calls = 0
+
+    def __call__(self, x_cur):
+        """x_cur: the newest carry vector (the converged solution of the
+        previous step; on the first call, the initial guess).  Returns the
+        Krylov initial guess for the upcoming step."""
+        self._calls += 1
+        # x_cur is a converged solution from call 2 on; p1/p2 lag by 1/2
+        if self._calls >= 4 and self._quad is not None:
+            g = self._quad(x_cur, self._p1, self._p2)
+        elif self._calls >= 3:
+            g = self._lin(x_cur, self._p1)
+        else:
+            g = x_cur
+        self._p2, self._p1 = self._p1, x_cur
+        return g
 
 
 class SolverKNPEMI:
@@ -807,13 +864,23 @@ class SolverKNPEMI:
         x64 disabled it degrades gracefully to an f32 predictor (still a
         strictly better guess than the previous solution).  No host
         readback — safe inside the axon hot loop."""
-        if self.warm_start != "extrapolated":
+        if not self.warm_start.startswith("extrapolated"):
             return None
         if self._extrap_fn is not None:
             return self._extrap_fn
         df32_mode = self.precision == "df32" and not self.direct
         self._extrap_fn = make_extrapolator(df32_mode)
         return self._extrap_fn
+
+    def warm_predictor(self):
+        """A fresh `WarmStartPredictor` for this solver's warm_start mode
+        ("extrapolated" = linear, "extrapolated2" = quadratic), or None.
+        One instance per time loop — it carries solution history."""
+        if not self.warm_start.startswith("extrapolated"):
+            return None
+        order = 2 if self.warm_start == "extrapolated2" else 1
+        df32_mode = self.precision == "df32" and not self.direct
+        return WarmStartPredictor(df32_mode, order)
 
     def solve(self, state: KNPEMIState | None = None,
               callback=None) -> KNPEMIState:
@@ -832,20 +899,16 @@ class SolverKNPEMI:
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
 
-        extrap = self.extrapolator()
-        x_sol_prev = None
+        # warm-start predictor: extrapolates only from converged solutions
+        # (at step 2 the older vector is the initial GUESS, and 2*x_1 - x_0
+        # doubles the cold-start correction — a far worse guess than x_1
+        # itself; the gate lives in WarmStartPredictor)
+        predictor = self.warm_predictor()
         its_device = []
         for i in range(1, self.time_steps + 1):
             tic = time.perf_counter()
-            if extrap is not None:
-                x_sol_cur = state.x
-                # extrapolate only once BOTH x_{k-1} and x_k are converged
-                # solutions (step >= 3).  At step 2 the older vector is the
-                # initial GUESS, and 2*x_1 - x_0 doubles the cold-start
-                # correction — a far worse guess than x_1 itself.
-                if i >= 3:
-                    state = state._replace(x=extrap(x_sol_cur, x_sol_prev))
-                x_sol_prev = x_sol_cur
+            if predictor is not None:
+                state = state._replace(x=predictor(state.x))
             state, its = self._step_fn(state)
             if callback is None:
                 # keep the loop free of device->host reads (axon switches to
@@ -917,16 +980,23 @@ class SolverKNPEMI:
             final, _ = jax.lax.scan(body, state, None, length=num_steps)
             return final
 
+        quad = (make_extrapolator(self.precision == "df32"
+                                  and not self.direct, 2)
+                if self.warm_start == "extrapolated2" else None)
+
         def body(carry, _):
-            s, x_prev, k = carry
+            s, x_prev, x_prev2, k = carry
             x_cur = s.x
-            # k = completed steps; predict only from two converged
-            # solutions (k >= 2) — see the solve() loop comment
+            # k = completed steps; predict only from converged solutions
+            # (k >= 2 linear, k >= 3 quadratic) — see the solve() comment
             g = jnp.where(k >= 2, extrap(x_cur, x_prev), x_cur)
+            if quad is not None:
+                g = jnp.where(k >= 3, quad(x_cur, x_prev, x_prev2), g)
             s = s._replace(x=g)
             s2, its = step(s)
-            return (s2, x_cur, k + 1), its
+            return (s2, x_cur, x_prev, k + 1), its
 
-        (final, _, _), _ = jax.lax.scan(
-            body, (state, state.x, jnp.int32(0)), None, length=num_steps)
+        (final, _, _, _), _ = jax.lax.scan(
+            body, (state, state.x, state.x, jnp.int32(0)), None,
+            length=num_steps)
         return final

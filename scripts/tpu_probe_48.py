@@ -85,8 +85,8 @@ def main():
           flush=True)
     its_v = int(its)
     print(f"[probe] last-step iterations: {its_v}", flush=True)
-    print("[probe] PASS: sustained 48^3 stepping verified by readback",
-          flush=True)
+    print(f"[probe] PASS: sustained {N_MESH}^3x{N_CELLS}c stepping "
+          "verified by readback", flush=True)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,19 @@ def test_extrapolated_matches_previous_and_cuts_iterations():
     # first step has no history: identical guess, identical count
     assert s_ext.iterations[0] == s_prev.iterations[0]
 
+    # quadratic predictor (warm_start: extrapolated2): same physics, and
+    # no more total work than the reference's previous-solution warm start
+    # (vs LINEAR it wins on tissue meshes but can lose a few iterations on
+    # this tiny square where the trajectory is barely resolved — the gate
+    # guarantees only that it never extrapolates from a guess)
+    s_q, st_q = _run("extrapolated2")
+    np.testing.assert_allclose(np.asarray(st_q.u, np.float64), ref,
+                               rtol=0, atol=1e-6 * scale)
+    assert sum(s_q.iterations) <= sum(s_prev.iterations), (
+        s_q.iterations, s_prev.iterations)
+    # no history yet at steps 1-2: the gate must keep the guess identical
+    assert s_q.iterations[:2] == s_ext.iterations[:2]
+
 
 def test_extrapolator_preserves_sharding():
     """make_extrapolator is elementwise, so a dof-sharded [2, n] df32 pair
