@@ -117,16 +117,13 @@ def child_main(spec: str):
     problem.init_ionic_models(build_models(problem))
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()
-    if not on_cpu:
-        # df32 carry: [2, n] (hi, lo) pair
-        state = state._replace(
-            x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
-    else:
-        state = state._replace(x=state.x.astype(jnp.float64))
     t_setup = time.perf_counter() - tic
 
     step = solver._build_step(state)
+    # carry layout: df32 [2, n] pair / f64 (CPU) / lattice (stencil path)
+    state = solver.prepare_state(state)
     n_dofs = int(problem.assembler.n_dofs)
+    stencil = getattr(solver, "_stencil", None)
 
     # NO device->host readback before or during timing (gotcha 1);
     # device-side warm-start predictor only
@@ -136,9 +133,17 @@ def child_main(spec: str):
     def advance(state):
         if predictor is not None:
             state = state._replace(x=predictor(state.x))
-        return step(state)
+        state, its = step(state)
+        # block EVERY step: on this runtime free-running launch queues
+        # CRAWL (tpu_truth.py: a 10-launch burst runs 2.6x slower than the
+        # same launches blocked one by one), so per-step blocking is both
+        # the honest timing and the faster schedule
+        jax.block_until_ready(state)
+        return state, its
 
-    mark(f"setup done in {t_setup:.1f} s, n_dofs={n_dofs}; warmup (compile)")
+    mark(f"setup done in {t_setup:.1f} s, n_dofs={n_dofs}"
+         f"{' (stencil operator)' if stencil is not None else ''};"
+         " warmup (compile)")
     tic = time.perf_counter()
     for _ in range(warmup):
         state, its = advance(state)
@@ -166,6 +171,7 @@ def child_main(spec: str):
         "t_block": t_block, "t_readback": t_read,
         "max_phi": max_phi, "finite": max_phi == max_phi,
         "its": its_np, "split": split and not on_cpu,
+        "stencil": stencil is not None,
         "device": str(jax.devices()[0]),
     }), flush=True)
 

@@ -536,6 +536,15 @@ class SolverKNPEMI:
         #                    Certification is unchanged: the solve still
         #                    terminates on the real preconditioned residual.
         self.warm_start = str(ksp.get("warm_start", "previous"))
+        # matvec: operator storage for the df32 iterative path.
+        #   "auto"    — lattice-stencil (ops/stencil.py) when the mesh is
+        #               structured (constant-offset neighbor pattern), else
+        #               ELL.  The stencil matvec replaces per-element
+        #               gathers with contiguous shifted slices — ~28x per
+        #               matvec on the v5e (scripts/tpu_stencil_probe.py).
+        #   "stencil" — require the stencil (error on unstructured meshes)
+        #   "ell"     — force the gather ELL path
+        self.matvec_mode = str(ksp.get("matvec", "auto"))
         self.mixed_precision = self.precision == "f64"
         # split_step: run assembly / Krylov solve / field scatter as THREE
         # jitted programs instead of one.  The axon TPU runtime faults when
@@ -570,6 +579,8 @@ class SolverKNPEMI:
         self._step_fn = None
         self._bundle = None
         self._extrap_fn = None
+        self._stencil = None
+        self._inject_fn = None
 
     # ------------------------------------------------------------------
     def _build_step(self, state0: KNPEMIState):
@@ -608,18 +619,44 @@ class SolverKNPEMI:
         df32_mode = self.precision == "df32"
 
         ell = None
+        stencil = None
         ns_df = None
         if df32_mode and not direct:
             from knp_emi_cgx_tpu.solvers.df32 import EllMatrix, df_from_f64
 
             # host copies only: a device readback here would flip the axon
             # runtime into its synchronous per-kernel mode (~3000x/step)
-            ell = EllMatrix(a.indptr_np, a.csr_cols_np)
+            if self.matvec_mode in ("auto", "stencil"):
+                from knp_emi_cgx_tpu.ops.stencil import StencilMatrix
+
+                try:
+                    stencil = StencilMatrix(a)
+                except ValueError:
+                    if self.matvec_mode == "stencil":
+                        raise
+                    stencil = None
+            if stencil is None:
+                ell = EllMatrix(a.indptr_np, a.csr_cols_np)
             self._ell = ell
+            self._stencil = stencil
             if has_neumann:
                 mask = (a.nullspace_np != 0).astype(np.float64)
+                if stencil is not None:
+                    # nullspace in the lattice space (zeros inactive)
+                    lat = np.zeros(stencil.n_lat)
+                    lat[stencil.lat_of_dof_np] = mask
+                    mask = lat
                 ns_exact = jnp.asarray(mask / np.linalg.norm(mask))
                 ns_df = df_from_f64(ns_exact)
+            if stencil is not None:
+                # field scatter reads the lattice solution directly:
+                # lattice position of dof (f, v) is f*n_pts + v (host-built
+                # — device index arithmetic here would compile eagerly)
+                scat = []
+                for f in range(a.nf):
+                    active = np.nonzero(fd[f] >= 0)[0]
+                    scat.append((jnp.asarray(active),
+                                 jnp.asarray(f * stencil.n_pts + active)))
 
         # Every device array goes through the bundle ARGUMENT: closure
         # constants would be re-shipped to the device on each execution
@@ -627,19 +664,23 @@ class SolverKNPEMI:
         bundle = {"a": a.device_state(), "scat": scat}
         if ell is not None:
             bundle["ell"] = ell.device_state()
-            if ns_df is not None:
-                bundle["ns_df"] = ns_df
+        if stencil is not None:
+            bundle["stencil"] = stencil.device_state()
+        if ns_df is not None:
+            bundle["ns_df"] = ns_df
         if pc is not None:
             bundle["pc"] = pc.device_state()
         self._bundle = bundle
 
         if df32_mode and not direct and self.split_step:
-            return self._build_step_split_df32(ell)
+            return self._build_step_split_df32(ell, stencil)
 
         def step(state: KNPEMIState, bundle):
             old_a = a.install_device_state(bundle["a"])
             old_pc = pc.install(bundle["pc"]) if pc is not None else None
             old_ell = ell.install(bundle["ell"]) if ell is not None else None
+            old_st = (stencil.install(bundle["stencil"])
+                      if stencil is not None else None)
             try:
                 t_new = state.t + params.dt
                 n_, m_, h_ = state.n, state.m, state.h
@@ -673,22 +714,39 @@ class SolverKNPEMI:
                     its = jnp.array(0)
                 elif df32_mode:
                     from knp_emi_cgx_tpu.solvers.df32 import (
-                        gmres_df32, repaired_ell_values, df_from_f32)
+                        gmres_df32, repaired_ell_values)
 
-                    if has_neumann:
-                        ell_h, ell_l = repaired_ell_values(
-                            ell, vals, a.phi_col_mask, a.phi_repair_slots)
+                    if stencil is not None:
+                        if has_neumann:
+                            dgh, lo_rows = stencil.repaired_diag_values(vals)
+                        else:
+                            dgh, lo_rows = stencil.diag_values(vals), None
+
+                        def mv_df(xh, xl):
+                            return stencil.matvec_df(dgh, xh, xl, lo_rows)
+
+                        M = (stencil.wrap_precond_df(pc.apply_df)
+                             if pc is not None else None)
+                        b_s = stencil.inject(b)
                     else:
-                        ell_h, ell_l = ell.ell_values(vals), None
+                        if has_neumann:
+                            ell_h, ell_l = repaired_ell_values(
+                                ell, vals, a.phi_col_mask,
+                                a.phi_repair_slots)
+                        else:
+                            ell_h, ell_l = ell.ell_values(vals), None
 
-                    def mv_df(xh, xl):
-                        if ell_l is None:
-                            return ell.matvec_df(ell_h, xh, xl)
-                        return ell.matvec_df2(ell_h, ell_l, xh, xl)
+                        def mv_df(xh, xl):
+                            if ell_l is None:
+                                return ell.matvec_df(ell_h, xh, xl)
+                            return ell.matvec_df2(ell_h, ell_l, xh, xl)
+
+                        M = pc.apply_df if pc is not None else None
+                        b_s = b
 
                     res = gmres_df32(
-                        mv_df, b, state.x[0], state.x[1],
-                        M=pc.apply_df if pc is not None else None,
+                        mv_df, b_s, state.x[0], state.x[1],
+                        M=M,
                         nullspace_df=bundle.get("ns_df"),
                         rtol=rtol, restart=restart)
                     x = jnp.stack([res.xh, res.xl])
@@ -731,20 +789,25 @@ class SolverKNPEMI:
                     pc.install(old_pc)
                 if ell is not None:
                     ell.install(old_ell)
+                if stencil is not None:
+                    stencil.install(old_st)
 
         jitted = jax.jit(step)
 
         def bound_step(state):
+            state = self.prepare_state(state)
             return jitted(state, self._bundle)
 
         bound_step.jitted = jitted
         return bound_step
 
     # ------------------------------------------------------------------
-    def _build_step_split_df32(self, ell):
+    def _build_step_split_df32(self, ell, stencil=None):
         """Three-program df32 step (see `split_step` in __init__): gating +
-        assembly + ELL value refresh | compensated GMRES | field scatter.
-        Same math as the fused step; only the jit boundaries differ."""
+        assembly + operator value refresh | compensated GMRES | field
+        scatter.  Same math as the fused step; only the jit boundaries
+        differ.  The operator is the lattice stencil when `stencil` is
+        given (structured meshes), else the gather ELL."""
         from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
                                                    forward_euler_update)
         from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
@@ -761,9 +824,20 @@ class SolverKNPEMI:
                   None)
         rtol, restart = self.rtol, self.restart
 
+        def _install_op(bundle):
+            if stencil is not None:
+                return stencil.install(bundle["stencil"])
+            return ell.install(bundle["ell"])
+
+        def _uninstall_op(old):
+            if stencil is not None:
+                stencil.install(old)
+            else:
+                ell.install(old)
+
         def stage_assemble(state, bundle):
             old_a = a.install_device_state(bundle["a"])
-            old_ell = ell.install(bundle["ell"])
+            old_op = _install_op(bundle)
             try:
                 t_new = state.t + params.dt
                 n_, m_, h_ = state.n, state.m, state.h
@@ -779,40 +853,59 @@ class SolverKNPEMI:
                              if (a.has_bcs and a.mms is not None) else None)
                 vals, b = a.assemble(state.u, state.phi_m, gates, t_new,
                                      bc_values=bc_values)
-                if has_neumann:
-                    ell_h, ell_l = repaired_ell_values(
+                if stencil is not None:
+                    if has_neumann:
+                        op_h, op_l = stencil.repaired_diag_values(vals)
+                    else:
+                        op_h = stencil.diag_values(vals)
+                        op_l = jnp.zeros((0,), dtype=op_h.dtype)
+                    b = stencil.inject(b)
+                elif has_neumann:
+                    op_h, op_l = repaired_ell_values(
                         ell, vals, a.phi_col_mask, a.phi_repair_slots)
                 else:
-                    ell_h = ell.ell_values(vals)
-                    ell_l = jnp.zeros((0,), dtype=ell_h.dtype)
-                return n_, m_, h_, t_new, ell_h, ell_l, b
+                    op_h = ell.ell_values(vals)
+                    op_l = jnp.zeros((0,), dtype=op_h.dtype)
+                return n_, m_, h_, t_new, op_h, op_l, b
             finally:
                 a.install_device_state(old_a)
-                ell.install(old_ell)
+                _uninstall_op(old_op)
 
         launch_outer = self.launch_outer
 
-        def stage_solve(bundle, ell_h, ell_l, b, x):
-            old_ell = ell.install(bundle["ell"])
+        def stage_solve(bundle, op_h, op_l, b, x):
+            old_op = _install_op(bundle)
             old_pc = pc.install(bundle["pc"]) if pc is not None else None
             try:
-                if has_neumann:
+                if stencil is not None:
+                    lo = op_l if has_neumann else None
+
                     def mv_df(xh, xl):
-                        return ell.matvec_df2(ell_h, ell_l, xh, xl)
+                        return stencil.matvec_df(op_h, xh, xl, lo)
+
+                    M = (stencil.wrap_precond_df(pc.apply_df)
+                         if pc is not None else None)
+                elif has_neumann:
+                    def mv_df(xh, xl):
+                        return ell.matvec_df2(op_h, op_l, xh, xl)
+
+                    M = pc.apply_df if pc is not None else None
                 else:
                     def mv_df(xh, xl):
-                        return ell.matvec_df(ell_h, xh, xl)
+                        return ell.matvec_df(op_h, xh, xl)
+
+                    M = pc.apply_df if pc is not None else None
                 kwargs = {}
                 if launch_outer is not None:
                     kwargs["max_outer"] = launch_outer
                 res = gmres_df32(
                     mv_df, b, x[0], x[1],
-                    M=pc.apply_df if pc is not None else None,
+                    M=M,
                     nullspace_df=bundle.get("ns_df"),
                     rtol=rtol, restart=restart, **kwargs)
                 return jnp.stack([res.xh, res.xl]), res.iterations
             finally:
-                ell.install(old_ell)
+                _uninstall_op(old_op)
                 if pc is not None:
                     pc.install(old_pc)
 
@@ -833,9 +926,10 @@ class SolverKNPEMI:
         launch_count_cold = self.launch_count_cold
 
         def bound_step(state):
-            n_, m_, h_, t_new, ell_h, ell_l, b = jA(state, self._bundle)
+            state = self.prepare_state(state)
+            n_, m_, h_, t_new, op_h, op_l, b = jA(state, self._bundle)
             if launch_outer is None:
-                x, its = jS(self._bundle, ell_h, ell_l, b, state.x)
+                x, its = jS(self._bundle, op_h, op_l, b, state.x)
             else:
                 # host-chunked launches (see launch_outer in __init__); a
                 # chunk that enters already converged exits after one
@@ -846,7 +940,7 @@ class SolverKNPEMI:
                 x = state.x
                 its = None
                 for _ in range(L):
-                    x, its_i = jS(self._bundle, ell_h, ell_l, b, x)
+                    x, its_i = jS(self._bundle, op_h, op_l, b, x)
                     its = its_i if its is None else its + its_i
                 bound_step.warm = True
             return jC(state, self._bundle, n_, m_, h_, t_new, x), its
@@ -889,15 +983,10 @@ class SolverKNPEMI:
         p = self.problem
         if state is None:
             state = p.initial_state()
-        if self.mixed_precision:
-            # x lives in f64 across steps (exact warm starts); fields stay
-            # in the problem dtype
-            state = state._replace(x=state.x.astype(jnp.float64))
-        elif self.precision == "df32" and state.x.ndim == 1:
-            # x lives as a [2, n] (hi, lo) double-f32 pair across steps
-            state = state._replace(x=self._df32_init_pair(state.x))
         if self._step_fn is None:
             self._step_fn = self._build_step(state)
+        # x carry layout: f64 (mixed), [2, n] df32 pair, lattice (stencil)
+        state = self.prepare_state(state)
 
         # warm-start predictor: extrapolates only from converged solutions
         # (at step 2 the older vector is the initial GUESS, and 2*x_1 - x_0
@@ -923,6 +1012,31 @@ class SolverKNPEMI:
             self.solve_time.append(time.perf_counter() - tic)
         if its_device and not self.direct:
             self.iterations.extend(int(v) for v in its_device)
+        return state
+
+    def prepare_state(self, state: KNPEMIState) -> KNPEMIState:
+        """Normalize state.x to the solver's carry layout: f64 for
+        mixed-precision, [2, n] df32 pairs for the compensated path, and
+        the uncompacted lattice layout when the stencil operator is active
+        (ops/stencil.py).  Idempotent and cheap — callers driving
+        `_build_step` directly (bench, production harnesses) should pass
+        every externally-constructed state through this once."""
+        if self.mixed_precision:
+            if state.x.dtype != jnp.float64:
+                state = state._replace(x=state.x.astype(jnp.float64))
+            return state
+        if self.precision != "df32" or self.direct:
+            return state
+        x = state.x
+        if x.ndim == 1:
+            x = self._df32_init_pair(x)
+        st = self._stencil
+        if st is not None and x.shape[-1] == st.n_dofs:
+            if self._inject_fn is None:
+                self._inject_fn = jax.jit(st.inject)
+            x = self._inject_fn(x)
+        if x is not state.x:
+            state = state._replace(x=x)
         return state
 
     def _df32_init_pair(self, x):
@@ -965,11 +1079,11 @@ class SolverKNPEMI:
             # that kill large launches; tracing the whole loop into one
             # scan would undo that
             raise RuntimeError("scan_solve is incompatible with split_step")
-        if self.mixed_precision:
-            state = state._replace(x=state.x.astype(jnp.float64))
-        elif self.precision == "df32" and state.x.ndim == 1:
-            state = state._replace(x=self._df32_init_pair(state.x))
         step = self._step_fn or self._build_step(state)
+        self._step_fn = step
+        # carry layout must be fixed BEFORE the scan (the carry shape is a
+        # scan invariant; the stencil path widens x to the lattice space)
+        state = self.prepare_state(state)
         extrap = self.extrapolator()
 
         if extrap is None:

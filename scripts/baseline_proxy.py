@@ -137,31 +137,61 @@ def measured_iterative_proxy():
     bb = np.asarray(b, np.float64)
     Pm, _, _ = build_monolithic_precond(
         a, np.asarray(state.u, np.float64))
-    Plu = spla.splu(Pm.tocsc())
-    M = spla.LinearOperator(A.shape, Plu.solve)
+    # pure-Neumann system (the golden config pins nothing): deflate the
+    # joint-constant phi mode exactly as PETSc's MatSetNullSpace does
+    # (KNPEMIx_solver.py:297-335).  The block-diagonal P has TWO singular
+    # modes (each phi block's own constant); an exact LU would amplify the
+    # non-deflated combination by 1/eps and stall GMRES (BoomerAMG's
+    # response to those modes is bounded) — shift each block's constant
+    # mode by a typical diagonal scale before factorising (deflated LU)
+    ns = (a.nullspace_np != 0).astype(np.float64)
+    ns /= np.linalg.norm(ns)
+    # lightly-regularised LU of P (the BoomerAMG role); convergence on the
+    # PRECONDITIONED residual like PETSc's KSP default (KNPEMIx_solver.py
+    # norm_type) — modern scipy's gmres tests the UNPRECONDITIONED
+    # residual, so M is folded into the operator explicitly
+    sigma = Pm.diagonal().mean()
+    Plu = spla.splu((Pm + 1e-10 * sigma * sp.eye(a.n_dofs)).tocsc())
+
+    def proj(v):
+        return v - ns * (ns @ v)
+
+    MA = spla.LinearOperator(
+        A.shape, lambda v: proj(Plu.solve(proj(A @ proj(v)))))
+    Mb = proj(Plu.solve(proj(bb)))
 
     its_box = [0]
 
     def cb(_):
         its_box[0] += 1
 
-    x, info = spla.gmres(A, bb, M=M, rtol=1e-9, atol=0.0, restart=30,
+    x, info = spla.gmres(MA, Mb, rtol=1e-9, atol=0.0, restart=30,
                          callback=cb, callback_type="legacy")
     assert info == 0 and np.all(np.isfinite(x))
     reps, its_box[0] = 10, 0
     tic = time.perf_counter()
     for _ in range(reps):
-        x, info = spla.gmres(A, bb, M=M, rtol=1e-9, atol=0.0, restart=30,
+        x, info = spla.gmres(MA, Mb, rtol=1e-9, atol=0.0, restart=30,
                              callback=cb, callback_type="legacy")
     per_step = (time.perf_counter() - tic) / reps
+    its = its_box[0] / reps
+    # conservative normalisation: the reference's hypre P needs 3.0
+    # its/step on this exact problem (its CI gate); scale the measured
+    # per-step time down to 3 iterations so the baseline is never
+    # flattered by our LU stand-in needing more
+    per_step_3its = per_step * 3.0 / max(its, 3.0)
     return {
         "n_dofs": int(a.n_dofs),
         "sec_per_step": per_step,
         "us_per_dof_step": per_step / a.n_dofs * 1e6,
-        "iterations_per_step": its_box[0] / reps,
-        "note": "per-step value refresh + P setup excluded (flatters the "
-                "baseline); exact block-P application in the BoomerAMG "
-                "role",
+        "iterations_per_step": its,
+        "sec_per_step_at_reference_3its": per_step_3its,
+        "us_per_dof_step_at_reference_3its":
+            per_step_3its / a.n_dofs * 1e6,
+        "note": "per-step value refresh + P setup excluded and iteration "
+                "count normalised to the reference's 3.0 (both flatter "
+                "the baseline); deflated block-P LU in the BoomerAMG "
+                "role; PETSc preconditioned-norm criterion",
     }
 
 
@@ -245,16 +275,24 @@ def analytic_iterative_model(bw_gbs):
 
 def main():
     direct = measured_direct_proxy()
+    iterative = measured_iterative_proxy()
+    tissue = measured_tissue_spmv()
     bw = measured_stream_bandwidth()
     model = analytic_iterative_model(bw)
     out = {
         "measured_direct_proxy": direct,
+        "measured_iterative_proxy": iterative,
+        "measured_tissue_spmv": tissue,
         "measured_stream_bandwidth_gbs": bw,
         "analytic_iterative_model": model,
         "baseline_estimates_us_per_dof_step": {
             "plot_scaling_100_steps": 5.94,
             "plot_scaling_500_steps_conservative": 1.19,
             "direct_path_measured_same_host": direct["us_per_dof_step"],
+            "iterative_path_measured_same_host":
+                iterative["us_per_dof_step"],
+            "iterative_path_measured_same_host_at_3its":
+                iterative["us_per_dof_step_at_reference_3its"],
         },
     }
     print(json.dumps(out, indent=1))

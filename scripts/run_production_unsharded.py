@@ -97,12 +97,13 @@ def main():
     problem.init_ionic_models(build_models(problem))
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()
-    state = state._replace(x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
     setup_s = time.perf_counter() - tic
     a = problem.assembler
     n_dofs = a.n_dofs
     print(f"[setup] n_dofs={n_dofs}, {setup_s:.1f} s", flush=True)
     step = solver._build_step(state)
+    # carry layout: df32 [2, n] pair; lattice when the stencil op is active
+    state = solver.prepare_state(state)
 
     cons0 = {k: float(v) for k, v in problem.conservation(state).items()}
     its_series, times = [], []

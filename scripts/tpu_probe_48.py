@@ -65,11 +65,14 @@ def main():
     problem.init_ionic_models(build_models(problem))
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()
-    state = state._replace(x=jnp.stack([state.x, jnp.zeros_like(state.x)]))
     print(f"[probe] setup {time.perf_counter()-tic:.1f} s, "
           f"n_dofs={problem.assembler.n_dofs}", flush=True)
 
     step = solver._build_step(state)
+    state = solver.prepare_state(state)
+    print(f"[probe] operator: "
+          f"{'stencil' if solver._stencil is not None else 'ell'}",
+          flush=True)
     for i in range(1, STEPS + 1):
         tic = time.perf_counter()
         state, its = step(state)
