@@ -46,6 +46,69 @@ from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_from_f32, df_scale_f32,
                                           df_sum)
 
 
+def detect_lattice(points: np.ndarray):
+    """Return the lattice dims (memory-major, minor axis last) when the
+    point cloud is a lexicographically numbered tensor grid, else None.
+
+    The generated meshes number vertices v = (iz*(ny+1) + iy)*(nx+1) + ix
+    (mesh/generation.py:103-110; 2D analog y-major), which is exactly what
+    the structured transfers in solvers/lattice_amg.py need.  Imported
+    meshes with arbitrary numbering return None and callers fall back to
+    the unstructured (gather) path."""
+    n, dim = points.shape
+    axes = []
+    for d in range(dim):
+        axes.append(np.unique(points[:, d]))
+    sizes = [len(a) for a in axes]
+    if int(np.prod(sizes)) != n:
+        return None
+    idx = [np.searchsorted(axes[d], points[:, d]) for d in range(dim)]
+    if dim == 2:
+        flat = idx[1] * sizes[0] + idx[0]
+        dims = (sizes[1], sizes[0])
+    elif dim == 3:
+        flat = (idx[2] * sizes[1] + idx[1]) * sizes[0] + idx[0]
+        dims = (sizes[2], sizes[1], sizes[0])
+    else:
+        return None
+    if not np.array_equal(flat, np.arange(n)):
+        return None
+    return dims
+
+
+def bucket_offsets(A, max_diags: int = 512):
+    """Host-side offset bucketing of a square scipy CSR matrix on a
+    lexicographic lattice: returns (offsets [K] int64 ascending,
+    stack [K, n] float32) with stack[k, r] = A[r, r + offsets[k]].
+
+    Raises ValueError when the pattern has more than max_diags distinct
+    offsets (not lattice-structured in this numbering)."""
+    A = A.tocoo()
+    n = A.shape[0]
+    d = A.col.astype(np.int64) - A.row.astype(np.int64)
+    offs, diag_id = np.unique(d, return_inverse=True)
+    if offs.shape[0] > max_diags:
+        raise ValueError(f"{offs.shape[0]} diagonals (> {max_diags})")
+    stack = np.zeros((offs.shape[0], n), dtype=np.float32)
+    # duplicate (row, col) entries accumulate like COO->CSR would
+    np.add.at(stack, (diag_id, A.row.astype(np.int64)),
+              A.data.astype(np.float32))
+    return offs, stack
+
+
+def dia_matvec_df(stack, starts, pad_lo, pad_hi, xh, xl):
+    """y = A x (df32 x, f32 diagonal stack [K, n]) for a single-field
+    lattice operator; compensated tree reduction.  `starts` are
+    trace-time-constant slice starts into the padded vector."""
+    n = stack.shape[1]
+    xph = jnp.pad(xh, (pad_lo, pad_hi))
+    xpl = jnp.pad(xl, (pad_lo, pad_hi))
+    Xh = jnp.stack([jax.lax.slice(xph, (s,), (s + n,)) for s in starts])
+    Xl = jnp.stack([jax.lax.slice(xpl, (s,), (s + n,)) for s in starts])
+    ph, pl = df_scale_f32(Xh, Xl, stack)
+    return df_sum(ph, pl, axis=0)
+
+
 class StencilMatrix:
     """Diagonal-stack storage of the monolithic KNP-EMI operator over the
     uncompacted (field, lattice-vertex) space.

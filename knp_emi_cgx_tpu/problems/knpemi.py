@@ -32,7 +32,8 @@ from knp_emi_cgx_tpu.ops.assembly import KNPEMIAssembler
 from knp_emi_cgx_tpu.ops.spmv import csr_mv
 from knp_emi_cgx_tpu.solvers.direct import dense_solve, dense_solve_deflated
 from knp_emi_cgx_tpu.solvers.krylov import gmres
-from knp_emi_cgx_tpu.solvers.precond import BlockDiagonalPreconditioner
+from knp_emi_cgx_tpu.solvers.precond import (BlockDiagonalPreconditioner,
+                                              LatticeBlockPreconditioner)
 
 
 class KNPEMIState(NamedTuple):
@@ -536,6 +537,11 @@ class SolverKNPEMI:
         #                    Certification is unchanged: the solve still
         #                    terminates on the real preconditioned residual.
         self.warm_start = str(ksp.get("warm_start", "previous"))
+        if self.direct and self.precision == "df32":
+            # the direct path is a dense f64 solve; the df32 pair layout
+            # only exists for the iterative Krylov state (prepare_state and
+            # the solve-path scatters already gate on `not direct`, 1005)
+            self.precision = "f32"
         # matvec: operator storage for the df32 iterative path.
         #   "auto"    — lattice-stencil (ops/stencil.py) when the mesh is
         #               structured (constant-offset neighbor pattern), else
@@ -566,6 +572,16 @@ class SolverKNPEMI:
         # (utils/setupcache.py) — repeated runs on the same mesh replay the
         # preconditioner build as device uploads
         self.setup_cache = bool(ksp.get("setup_cache", False))
+        # amg_smooth_iters / amg_cycles: joint-hierarchy apply strength for
+        # pc_mode amg_phi/amg2 (smoothing sweeps per half-cycle, V-cycles
+        # per application).  pc_lab measured {3, 2} at warm 12.8 its vs
+        # 19.4 for the block form (exact-application floor 11.2) — the
+        # joint form is what beats the block-diagonal iteration floor.
+        self.amg_opts = {}
+        if ksp.get("amg_smooth_iters") is not None:
+            self.amg_opts["smooth_iters"] = int(ksp["amg_smooth_iters"])
+        if ksp.get("amg_cycles") is not None:
+            self.amg_opts["cycles"] = int(ksp["amg_cycles"])
         lo = ksp.get("launch_outer")
         self.launch_outer = int(lo) if lo is not None else None
         self.launch_count = int(ksp.get("launch_count", 6))
@@ -581,6 +597,7 @@ class SolverKNPEMI:
         self._extrap_fn = None
         self._stencil = None
         self._inject_fn = None
+        self._pc_lattice = False
 
     # ------------------------------------------------------------------
     def _build_step(self, state0: KNPEMIState):
@@ -590,34 +607,15 @@ class SolverKNPEMI:
         has_neumann = not (p.cfg.dirichlet_bcs or p.cfg.pin_ecs_potential)
         assert has_neumann == (not a.has_bcs)
 
-        if not self.direct and self._pc is None:
-            u0 = getattr(p, "_u0_np", None)
-            if u0 is None:
-                u0 = np.asarray(state0.u)   # fallback: costs the D2H switch
-            # selective-f64 solves need the preconditioner STORED at f64 so
-            # it applies as a fixed operator in f64 arithmetic (an f32-cast
-            # wrapper is a noisy operator — see solvers/refine.py)
-            pc_dtype = jnp.float64 if self.mixed_precision else None
-            self._pc = BlockDiagonalPreconditioner(
-                a, u0, mode=self.pc_mode, dtype=pc_dtype,
-                df=self.precision == "df32", cache=self.setup_cache)
-
-        # gather maps for scattering x back into field arrays
-        fd = a.field_dof
-        scat = []
-        for f in range(a.nf):
-            active = np.nonzero(fd[f] >= 0)[0]
-            scat.append((jnp.asarray(active), jnp.asarray(fd[f, active])))
-
         gating = p.gating_variables
         hh = next((m for m in p.ionic_models if isinstance(m, HodgkinHuxley)),
                   None)
-        pc = self._pc
         rtol, restart = self.rtol, self.restart
         direct = self.direct
         mixed_precision = self.mixed_precision
         df32_mode = self.precision == "df32"
 
+        fd = a.field_dof
         ell = None
         stencil = None
         ns_df = None
@@ -639,6 +637,44 @@ class SolverKNPEMI:
                 ell = EllMatrix(a.indptr_np, a.csr_cols_np)
             self._ell = ell
             self._stencil = stencil
+
+        if not self.direct and self._pc is None:
+            u0 = getattr(p, "_u0_np", None)
+            if u0 is None:
+                u0 = np.asarray(state0.u)   # fallback: costs the D2H switch
+            lattice_dims = None
+            if stencil is not None and self.pc_mode in ("amg", "amg_phi"):
+                from knp_emi_cgx_tpu.ops.stencil import detect_lattice
+
+                lattice_dims = detect_lattice(a.points_np)
+            if lattice_dims is not None:
+                # gather-free geometric V-cycles applied natively to the
+                # stencil operator's lattice vectors (solvers/lattice_amg)
+                self._pc = LatticeBlockPreconditioner(
+                    a, u0, lattice_dims, mode=self.pc_mode,
+                    amg_opts=self.amg_opts)
+                self._pc_lattice = True
+            else:
+                # selective-f64 solves need the preconditioner STORED at
+                # f64 so it applies as a fixed operator in f64 arithmetic
+                # (an f32-cast wrapper is a noisy operator — solvers/refine)
+                pc_dtype = jnp.float64 if self.mixed_precision else None
+                self._pc = BlockDiagonalPreconditioner(
+                    a, u0, mode=self.pc_mode, dtype=pc_dtype,
+                    df=self.precision == "df32", cache=self.setup_cache,
+                    amg_opts=self.amg_opts)
+                self._pc_lattice = False
+
+        # gather maps for scattering x back into field arrays
+        scat = []
+        for f in range(a.nf):
+            active = np.nonzero(fd[f] >= 0)[0]
+            scat.append((jnp.asarray(active), jnp.asarray(fd[f, active])))
+
+        pc = self._pc
+        pc_lattice = getattr(self, "_pc_lattice", False)
+
+        if df32_mode and not direct:
             if has_neumann:
                 mask = (a.nullspace_np != 0).astype(np.float64)
                 if stencil is not None:
@@ -725,8 +761,12 @@ class SolverKNPEMI:
                         def mv_df(xh, xl):
                             return stencil.matvec_df(dgh, xh, xl, lo_rows)
 
-                        M = (stencil.wrap_precond_df(pc.apply_df)
-                             if pc is not None else None)
+                        if pc is None:
+                            M = None
+                        elif pc_lattice:
+                            M = pc.apply_df      # lattice-native, no maps
+                        else:
+                            M = stencil.wrap_precond_df(pc.apply_df)
                         b_s = stencil.inject(b)
                     else:
                         if has_neumann:
@@ -818,6 +858,7 @@ class SolverKNPEMI:
         a = p.assembler
         params = p.params
         pc = self._pc
+        pc_lattice = getattr(self, "_pc_lattice", False)
         has_neumann = not a.has_bcs
         gating = p.gating_variables
         hh = next((m for m in p.ionic_models if isinstance(m, HodgkinHuxley)),
@@ -883,8 +924,12 @@ class SolverKNPEMI:
                     def mv_df(xh, xl):
                         return stencil.matvec_df(op_h, xh, xl, lo)
 
-                    M = (stencil.wrap_precond_df(pc.apply_df)
-                         if pc is not None else None)
+                    if pc is None:
+                        M = None
+                    elif pc_lattice:
+                        M = pc.apply_df          # lattice-native, no maps
+                    else:
+                        M = stencil.wrap_precond_df(pc.apply_df)
                 elif has_neumann:
                     def mv_df(xh, xl):
                         return ell.matvec_df2(op_h, op_l, xh, xl)

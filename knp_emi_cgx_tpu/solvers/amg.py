@@ -252,7 +252,8 @@ class SmoothedAggregationAMG:
                  block_pairs: np.ndarray | None = None,
                  cache: bool = False,
                  per_component_lam: bool = False,
-                 keep_host: bool = False):
+                 keep_host: bool = False,
+                 cycles: int = 1):
         """components: optional int label per dof (e.g. biological
         compartment id).  When given, aggregates never span two components,
         so the tentative prolongation exactly reproduces every
@@ -264,6 +265,10 @@ class SmoothedAggregationAMG:
         by never coarsening across fields)."""
         self.dtype = dtype
         self.smooth_iters = smooth_iters
+        # cycles: V-cycles per application (z += cycle(b - A z)); >1 closes
+        # most of the gap to the P-form's exact-application iteration floor
+        # (pc_lab: joint-phi s3c2 12.8 warm its vs 17.6 at s3c1, floor 11.2)
+        self.cycles = cycles
         self.df = df
         self.levels: list[AMGLevel] = []
         # keep_host: retain the host-side (A, P, Binv, lam) per level — the
@@ -437,7 +442,14 @@ class SmoothedAggregationAMG:
         return x
 
     def __call__(self, b):
-        return self._cycle(0, b)
+        from knp_emi_cgx_tpu.ops.spmv import csr_mv
+
+        x = self._cycle(0, b)
+        lv = self.levels[0]
+        for _ in range(self.cycles - 1):
+            r = b - csr_mv(lv.A_vals, x, lv.A_indices, lv.A_row_ids, lv.n)
+            x = x + self._cycle(0, r)
+        return x
 
     # ------------------------------------------------------------------
     # compensated (double-f32) application — requires df=True at setup
@@ -482,6 +494,15 @@ class SmoothedAggregationAMG:
 
     def apply_df(self, rh, rl):
         """Fixed-to-df-accuracy V-cycle apply on a df32 vector."""
+        from knp_emi_cgx_tpu.solvers.df32 import df_add, ell_mv_df
+
         if not hasattr(self.levels[0], "A_ell_cols"):
             raise RuntimeError("build SmoothedAggregationAMG with df=True")
-        return self._cycle_df(0, rh, rl)
+        xh, xl = self._cycle_df(0, rh, rl)
+        lv = self.levels[0]
+        for _ in range(self.cycles - 1):
+            yh, yl = ell_mv_df(lv.A_ell_cols, lv.A_ell_vals, xh, xl)
+            sh, sl = df_add(rh, rl, -yh, -yl)
+            eh, el = self._cycle_df(0, sh, sl)
+            xh, xl = df_add(xh, xl, eh, el)
+        return xh, xl

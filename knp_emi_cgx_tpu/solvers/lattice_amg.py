@@ -1,0 +1,312 @@
+"""Gather-free geometric-algebraic multigrid on lexicographic lattices.
+
+The production V-cycle cost on the axon TPU is dominated by XLA's
+per-element gather lowering (~1.4e8 elem/s — scripts/tpu_truth.py), which
+hits every ELL matvec inside SmoothedAggregationAMG (smoother, residual,
+P/R transfers).  On the STRUCTURED meshes the per-field preconditioner
+blocks (solvers/precond.py `_build_blocks`) live on a lexicographic lattice
+(mesh/generation.py), so every AMG ingredient has a gather-free form:
+
+  * level operators  — offset-bucketed diagonal stacks: the matvec is K
+    shifted contiguous slices (ops/stencil.py `dia_matvec_df`)
+  * coarsening       — 2^dim lattice-block aggregates: the coarse grid is
+    again a lexicographic lattice, so EVERY level stays stencil-structured
+  * tentative P0     — per-axis 2x replication (pure reshape/repeat)
+  * smoothed P/R     — P = (I - (omega/lam) D^-1 A) P0 applied as
+    upsample + one stencil matvec (and R = P^T symmetrically); the SAME
+    Jacobi-smoothed-aggregation transfer SmoothedAggregationAMG builds
+    (amg.py:353-361), just never materialised as a gather matrix
+  * smoother         — alternating two-weight Jacobi, identical semantics
+    to SmoothedAggregationAMG._smooth_df (amg.py:445-464)
+  * coarsest level   — dense inverse (embedded over the lattice points)
+
+Inactive lattice points (a per-field block only covers its compartment's
+closure) carry exactly-zero rows/columns; dinv is 0 there, the smoother
+never updates them, and the final apply masks them, so the V-cycle is the
+compacted SA V-cycle's structural twin with geometric aggregates.
+
+Hierarchy values are static (the preconditioner is built once from the
+initial state, like the reference's reassemble_P=False default,
+KNPEMIx_solver.py:34), so setup is plain host scipy.
+
+Reference role: hypre BoomerAMG under the block-diagonal preconditioner
+(KNPEMIx_solver.py:267-273).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from knp_emi_cgx_tpu.ops.stencil import bucket_offsets, dia_matvec_df
+from knp_emi_cgx_tpu.solvers.amg import _lam_max_jacobi
+from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32, df_sum,
+                                          df_zeros_like, dense_mv_df)
+
+
+def _block_agg(dims, factors=None):
+    """Flat coarse index per fine lattice point for per-axis block
+    aggregates (factor 2 on coarsened axes, 1 on kept axes — e.g. the
+    field axis of a joint multi-field lattice never coarsens), plus the
+    coarse dims.  dims are memory-major (minor axis last)."""
+    if factors is None:
+        factors = (2,) * len(dims)
+    cdims = tuple(-(-s // f) for s, f in zip(dims, factors))
+    grids = np.meshgrid(*[np.arange(s) // f for s, f in zip(dims, factors)],
+                        indexing="ij")
+    flat = grids[0]
+    for d in range(1, len(dims)):
+        flat = flat * cdims[d] + grids[d]
+    return flat.reshape(-1), cdims
+
+
+class _Level:
+    __slots__ = ("dims", "cdims", "factors", "starts", "pad_lo", "pad_hi",
+                 "stack", "dinv", "lam", "w_transfer", "has_P", "n")
+
+    def __init__(self, A, dims, cdims, lam, omega, has_P, factors=None,
+                 pair_stride=None):
+        offs, stack_np = bucket_offsets(A)
+        self.n = A.shape[0]
+        self.dims = dims
+        self.cdims = cdims
+        self.factors = factors or (2,) * len(dims)
+        self.pad_lo = int(max(0, -offs.min())) if len(offs) else 0
+        self.pad_hi = int(max(0, offs.max())) if len(offs) else 0
+        self.starts = [int(o) + self.pad_lo for o in offs]
+        self.stack = jnp.asarray(stack_np)
+        self.dinv = jnp.asarray(
+            _pair_binv(A, pair_stride).astype(np.float32))
+        self.lam = float(lam)
+        self.w_transfer = np.float32(omega / lam)
+        self.has_P = has_P
+
+    # device-array bundling
+    ARRAYS = ("stack", "dinv")
+
+
+def _pair_binv(A, pair_stride):
+    """Smoother weights: plain inverted diagonal [n] when pair_stride is
+    None, else the exact elementwise 2x2 block inverse [4, n_half] over
+    (v, v + pair_stride) dof pairs — the membrane (phi_i, phi_e) pair
+    smoothing that conquers the EMI operator (solvers/amg.py
+    `_block_dinv`), here with NO gathers: on the joint lattice the pair
+    partner is a constant stride away."""
+    d = np.asarray(A.diagonal(), dtype=np.float64)
+    if pair_stride is None:
+        return np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    n = A.shape[0]
+    s = int(pair_stride)
+    assert n == 2 * s
+    # cross coupling A[v, v+s] (and symmetric partner) via one diagonal
+    Acoo = A.tocoo()
+    c = np.zeros(n, dtype=np.float64)
+    mask = Acoo.col - Acoo.row == s
+    np.add.at(c, Acoo.row[mask], Acoo.data[mask])
+    a11, a22, a12 = d[:s], d[s:], c[:s]
+    det = a11 * a22 - a12 * a12
+    act = (a11 != 0.0) & (a22 != 0.0)
+    safe = np.where(act, np.where(det == 0.0, 1.0, det), 1.0)
+    b11 = np.where(act, a22 / safe, np.where(a11 != 0, 1.0 / np.where(a11 == 0, 1, a11), 0.0))
+    b22 = np.where(act, a11 / safe, np.where(a22 != 0, 1.0 / np.where(a22 == 0, 1, a22), 0.0))
+    b12 = np.where(act, -a12 / safe, 0.0)
+    return np.stack([b11, b12, b12, b22])    # [4, s]
+
+
+def _upsample_crop(x, cdims, dims, factors):
+    y = x.reshape(cdims)
+    for ax, f in enumerate(factors):
+        if f > 1:
+            y = jnp.repeat(y, f, axis=ax)
+    y = jax.lax.slice(y, (0,) * len(dims), dims)
+    return y.reshape(-1)
+
+
+def _downsum_df(h, l, dims, cdims, factors):
+    """P0^T in df32: sum each per-axis block (compensated)."""
+    nd = len(dims)
+    pads = [(0, factors[d] * cdims[d] - dims[d]) for d in range(nd)]
+    h = jnp.pad(h.reshape(dims), pads)
+    l = jnp.pad(l.reshape(dims), pads)
+    shape = []
+    for d in range(nd):
+        shape += [cdims[d], factors[d]]
+    h = h.reshape(shape)
+    l = l.reshape(shape)
+    # move the block axes to the end and flatten them
+    perm = list(range(0, 2 * nd, 2)) + list(range(1, 2 * nd, 2))
+    h = jnp.transpose(h, perm).reshape(int(np.prod(cdims)), -1)
+    l = jnp.transpose(l, perm).reshape(int(np.prod(cdims)), -1)
+    return df_sum(h, l, axis=1)
+
+
+def _binv_sp(A, pair_stride):
+    """The smoother's Binv as a scipy operator (for lam estimation and
+    transfer smoothing): inverted diagonal, or the exact 2x2 pair block
+    inverse when pair_stride is set."""
+    v = _pair_binv(A, pair_stride)
+    if pair_stride is None:
+        return sp.diags(v)
+    s = int(pair_stride)
+    b11, b12, _, b22 = v
+    return sp.diags([b12, np.concatenate([b11, b22]), b12],
+                    offsets=[-s, 0, s])
+
+
+class LatticeAMG:
+    """V-cycle preconditioner for one SPD per-field block (or the joint
+    (phi_i, phi_e) pair, n_fields=2) lifted to the full lattice (zero
+    rows/cols at inactive points).
+
+    n_fields > 1: the operator lives on a joint (field, *spatial) lattice;
+    the field axis never coarsens (aggregates must not span compartments —
+    the joint near-kernel is per-compartment constants with membrane
+    jumps).  pair_smooth: exact elementwise 2x2 block-Jacobi on the
+    (v, v + n/2) dof pairs at EVERY level — the stride-addressed,
+    gather-free analog of solvers/amg.py `block_pairs`, which is what
+    conquers the capacitively-coupled membrane operator (EMI at 6-7 its)."""
+
+    def __init__(self, B: sp.spmatrix, active: np.ndarray, dims,
+                 smooth_iters: int = 2, omega: float = 4.0 / 3.0,
+                 coarse_size: int = 200, max_levels: int = 10,
+                 n_fields: int = 1, pair_smooth: bool = False,
+                 cycles: int = 1):
+        self.cycles = cycles
+        dims = ((n_fields,) + tuple(dims)) if n_fields > 1 else tuple(dims)
+        factors = (((1,) + (2,) * (len(dims) - 1)) if n_fields > 1
+                   else (2,) * len(dims))
+        if pair_smooth and n_fields != 2:
+            raise ValueError("pair_smooth needs n_fields == 2")
+        n_pts = int(np.prod(dims))
+        B = B.tocoo()
+        active = np.asarray(active, dtype=np.int64)
+        A = sp.csr_matrix(
+            (B.data, (active[B.row], active[B.col])),
+            shape=(n_pts, n_pts))
+        A.sum_duplicates()
+        self.smooth_iters = smooth_iters
+        self.levels: list[_Level] = []
+        self.active_mask = jnp.asarray(
+            np.isin(np.arange(n_pts), active).astype(np.float32))
+
+        for _ in range(max_levels):
+            d = A.diagonal()
+            act = d != 0.0
+            n_act = int(act.sum())
+            ps = (A.shape[0] // 2) if pair_smooth else None
+            Binv = _binv_sp(A, ps)
+            lam = _lam_max_jacobi(A, Binv=Binv)
+            spatial_min = min(s for s, f in zip(dims, factors) if f > 1)
+            if n_act <= coarse_size or spatial_min <= 2:
+                self.levels.append(_Level(A, dims, dims, lam, omega,
+                                          has_P=False, factors=factors,
+                                          pair_stride=ps))
+                break
+            agg, cdims = _block_agg(dims, factors)
+            self.levels.append(_Level(A, dims, cdims, lam, omega,
+                                      has_P=True, factors=factors,
+                                      pair_stride=ps))
+            P0 = sp.csr_matrix(
+                (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
+                shape=(A.shape[0], int(np.prod(cdims))))
+            P = P0 - (omega / lam) * (Binv @ (A @ P0))
+            A = (P.T @ A @ P).tocsr()
+            A.sum_duplicates()
+            A.eliminate_zeros()
+            dims = cdims
+        # coarsest: dense inverse on the active subspace, embedded
+        d = A.diagonal()
+        act = np.nonzero(d != 0.0)[0]
+        dense = A[np.ix_(act, act)].toarray()
+        scale = np.abs(dense).max() or 1.0
+        dense = dense + 1e-12 * scale * np.eye(dense.shape[0])
+        inv = np.linalg.inv(dense)
+        full = np.zeros((A.shape[0], A.shape[0]), dtype=np.float32)
+        full[np.ix_(act, act)] = inv
+        self.coarse_inv = jnp.asarray(full)
+
+    # -- device-array bundling ------------------------------------------------
+    def device_state(self):
+        return {"coarse_inv": self.coarse_inv,
+                "active_mask": self.active_mask,
+                "levels": [{k: getattr(lv, k) for k in _Level.ARRAYS}
+                           for lv in self.levels]}
+
+    def install(self, st):
+        old = self.device_state()
+        self.coarse_inv = st["coarse_inv"]
+        self.active_mask = st["active_mask"]
+        for lv, d in zip(self.levels, st["levels"]):
+            for k, v in d.items():
+                setattr(lv, k, v)
+        return old
+
+    # -- df32 application -------------------------------------------------
+    def _mv(self, lv: _Level, xh, xl):
+        return dia_matvec_df(lv.stack, lv.starts, lv.pad_lo, lv.pad_hi,
+                             xh, xl)
+
+    @staticmethod
+    def _binv_df(lv: _Level, rh, rl, w):
+        """(wh, wl) = w * Binv (rh, rl): elementwise diagonal scaling, or
+        the stride-addressed 2x2 pair inverse (dinv stored [4, n/2])."""
+        if lv.dinv.ndim == 1:
+            return df_scale_f32(rh, rl, w * lv.dinv)
+        s = lv.n // 2
+        b11, b12, b21, b22 = lv.dinv
+        r1h, r1l = rh[:s], rl[:s]
+        r2h, r2l = rh[s:], rl[s:]
+        u1 = df_add(*df_scale_f32(r1h, r1l, b11),
+                    *df_scale_f32(r2h, r2l, b12))
+        u2 = df_add(*df_scale_f32(r1h, r1l, b21),
+                    *df_scale_f32(r2h, r2l, b22))
+        uh = jnp.concatenate([u1[0], u2[0]])
+        ul = jnp.concatenate([u1[1], u2[1]])
+        return df_scale_f32(uh, ul, w)
+
+    def _smooth_df(self, lv: _Level, xh, xl, bh, bl):
+        weights = (np.float32(1.0 / (0.7 * lv.lam)),
+                   np.float32(1.0 / (1.1 * lv.lam)))
+        for it in range(self.smooth_iters):
+            w = weights[it % 2]
+            yh, yl = self._mv(lv, xh, xl)
+            rh, rl = df_add(bh, bl, -yh, -yl)
+            uh, ul = self._binv_df(lv, rh, rl, w)
+            xh, xl = df_add(xh, xl, uh, ul)
+        return xh, xl
+
+    def _cycle_df(self, k, bh, bl):
+        lv = self.levels[k]
+        if not lv.has_P:
+            return dense_mv_df(self.coarse_inv, bh, bl)
+        z = df_zeros_like(bh)
+        xh, xl = self._smooth_df(lv, z[0], z[1], bh, bl)
+        yh, yl = self._mv(lv, xh, xl)
+        rh, rl = df_add(bh, bl, -yh, -yl)
+        # R = P^T = P0^T (I - w A Binv): one stencil matvec + block sums
+        sh, sl = self._binv_df(lv, rh, rl, np.float32(1.0))
+        th, tl = self._mv(lv, sh, sl)
+        th, tl = df_scale_f32(th, tl, -lv.w_transfer)
+        gh, gl = df_add(rh, rl, th, tl)
+        rch, rcl = _downsum_df(gh, gl, lv.dims, lv.cdims, lv.factors)
+        xch, xcl = self._cycle_df(k + 1, rch, rcl)
+        # P = (I - w Binv A) P0: replicate then one stencil matvec
+        uh = _upsample_crop(xch, lv.cdims, lv.dims, lv.factors)
+        ul = _upsample_crop(xcl, lv.cdims, lv.dims, lv.factors)
+        th, tl = self._mv(lv, uh, ul)
+        th, tl = self._binv_df(lv, th, tl, -lv.w_transfer)
+        eh, el = df_add(uh, ul, th, tl)
+        xh, xl = df_add(xh, xl, eh, el)
+        return self._smooth_df(lv, xh, xl, bh, bl)
+
+    def apply_df(self, rh, rl):
+        xh, xl = self._cycle_df(0, rh, rl)
+        lv = self.levels[0]
+        for _ in range(self.cycles - 1):
+            yh, yl = self._mv(lv, xh, xl)
+            sh, sl = df_add(rh, rl, -yh, -yl)
+            eh, el = self._cycle_df(0, sh, sl)
+            xh, xl = df_add(xh, xl, eh, el)
+        return xh * self.active_mask, xl * self.active_mask

@@ -177,17 +177,167 @@ def build_monolithic_precond(assembler, u0_np, joint_phi: bool = False):
     return Pm, components, block_pairs
 
 
+def build_joint_phi(assembler, bi, be, off_i, off_e):
+    """Compacted joint (phi_i, phi_e) matrix [[B_i, -aM], [-aM^T, B_e]]
+    (a = C_M/F): the Benedusi potential blocks PLUS the membrane
+    capacitive cross-coupling that the block-diagonal P form drops — the
+    dominant coupling on dense-tissue meshes (reference P form:
+    KNPEMIx_problem.py:657-744; the coupling is the EMI operator
+    structure, problems/emi.py).  off_i/off_e: the blocks' row offsets in
+    the monolithic dof ordering (for BC masking).
+
+    Returns (J csr [ni+ne], components, pairs, ni): components label
+    biological compartments (aggregates must never span them), pairs are
+    the (phi_i, phi_e) membrane dof partners for 2x2 block smoothing."""
+    a = assembler
+    p = a.params
+    ni, ne = bi.shape[0], be.shape[0]
+    rank_i = np.full(a.n_pts, -1, dtype=np.int64)
+    rank_i[a.intra_dofs_np] = np.arange(ni)
+    rank_e = np.full(a.n_pts, -1, dtype=np.int64)
+    rank_e[a.extra_dofs_np] = np.arange(ne)
+
+    NN = np.einsum("q,qa,qb->ab", a.wq_np, a.Nq_np, a.Nq_np)
+    fvals = (p.C_M / p.F) * a.L_f_np[:, None, None] * NN[None, :, :]
+    gi = rank_i[a.mtab_np]                      # [n_mf, nfn]
+    ge = ni + rank_e[a.mtab_np]
+    R = np.broadcast_to(gi[:, :, None], fvals.shape).ravel()
+    C = np.broadcast_to(ge[:, None, :], fvals.shape).ravel()
+    nj = ni + ne
+    cross = sp.csr_matrix((-fvals.ravel(), (R, C)), shape=(nj, nj))
+    # Dirichlet/pinned dofs keep their identity rows: zero the cross
+    # coupling there (bi/be already BC-eliminated in _build_blocks)
+    bcf = np.concatenate([a.bc_flag_np[off_i:off_i + ni],
+                          a.bc_flag_np[off_e:off_e + ne]])
+    if bcf.any():
+        Dm = sp.diags((~bcf).astype(float))
+        cross = Dm @ cross @ Dm
+    J = (sp.block_diag([bi, be]).tocsr() + cross + cross.T).tocsr()
+    J.sort_indices()
+
+    # aggregates never span biological compartments: per-cell tag
+    # labels on phi_i dofs, one ECS label on phi_e dofs
+    comp_node = np.zeros(a.n_pts, dtype=np.int64)
+    ic = a.topo.intra_cells
+    comp_node[a.cell_tab_np[ic].ravel()] = np.repeat(
+        np.asarray(a.topo.mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
+    components = np.zeros(nj, dtype=np.int64)
+    components[:ni] = comp_node[a.intra_dofs_np] + 1
+
+    # 2x2 smoothing blocks on (phi_i, phi_e) membrane dof partners
+    mv = np.unique(a.mtab_np)
+    pairs = np.stack([rank_i[mv], ni + rank_e[mv]], axis=1)
+    return J, components, pairs, ni
+
+
+class LatticeBlockPreconditioner:
+    """Block-diagonal preconditioner applied natively to UNCOMPACTED
+    lattice vectors [nf * n_pts] (the stencil operator's solution space,
+    ops/stencil.py): per-field gather-free LatticeAMG V-cycles
+    (solvers/lattice_amg.py), field segments addressed by static slices.
+
+    Same P form and V-cycle semantics as BlockDiagonalPreconditioner
+    mode="amg" (or "amg_phi": joint (phi_i, phi_e) hierarchy keeping the
+    membrane capacitive cross-coupling — the form whose exact-application
+    iteration floor is 11.2 vs 18.8 for the block form, scripts/pc_lab.py
+    — with stride-addressed 2x2 membrane pair smoothing); only the
+    aggregation is geometric (2^dim lattice blocks) and the application
+    has no gathers — built for the axon TPU where XLA's gather lowering
+    is ~500x off the bandwidth bound."""
+
+    def __init__(self, assembler, u0, dims, mode: str = "amg",
+                 amg_opts: dict | None = None):
+        from knp_emi_cgx_tpu.solvers.lattice_amg import LatticeAMG
+
+        a = assembler
+        u0_np = np.asarray(u0, dtype=np.float64)
+        blocks = _build_blocks(a, u0_np)
+        assert len(blocks) == a.nf
+        self.n_pts = int(np.prod(dims))
+        self.mode = mode
+        self.N = N = a.N_ions
+        opts = dict(amg_opts or {})
+        self.blocks = []
+        self.joint = None
+        if mode == "amg_phi":
+            sizes = [b.shape[0] for b in blocks]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            J, _, _, _ = build_joint_phi(a, blocks[N], blocks[2 * N + 1],
+                                         int(offs[N]), int(offs[2 * N + 1]))
+            active_j = np.concatenate([a.intra_dofs_np,
+                                       self.n_pts + a.extra_dofs_np])
+            jopts = {"smooth_iters": 3, **opts}
+            self.joint = LatticeAMG(J, active_j, dims, n_fields=2,
+                                    pair_smooth=True, **jopts)
+        for f, B in enumerate(blocks):
+            if mode == "amg_phi" and f in (N, 2 * N + 1):
+                self.blocks.append(None)
+                continue
+            active = (a.intra_dofs_np if f < a.nvar else a.extra_dofs_np)
+            self.blocks.append(LatticeAMG(B, active, dims))
+
+    def apply_df(self, rh, rl):
+        """df32 apply on lattice vectors; fixed operator to ~2^-48."""
+        n, N = self.n_pts, self.N
+        outs_h = [None] * len(self.blocks)
+        outs_l = [None] * len(self.blocks)
+        for f, blk in enumerate(self.blocks):
+            if blk is None:
+                continue
+            lo = f * n
+            sh = jax.lax.slice(rh, (lo,), (lo + n,))
+            sl = jax.lax.slice(rl, (lo,), (lo + n,))
+            outs_h[f], outs_l[f] = blk.apply_df(sh, sl)
+        if self.joint is not None:
+            lo_i, lo_e = N * n, (2 * N + 1) * n
+            sh = jnp.concatenate([
+                jax.lax.slice(rh, (lo_i,), (lo_i + n,)),
+                jax.lax.slice(rh, (lo_e,), (lo_e + n,))])
+            sl = jnp.concatenate([
+                jax.lax.slice(rl, (lo_i,), (lo_i + n,)),
+                jax.lax.slice(rl, (lo_e,), (lo_e + n,))])
+            zh, zl = self.joint.apply_df(sh, sl)
+            outs_h[N], outs_l[N] = zh[:n], zl[:n]
+            outs_h[2 * N + 1], outs_l[2 * N + 1] = zh[n:], zl[n:]
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+    # -- device-array bundling (utils/devicestate.py pattern) --
+    def device_state(self):
+        return {"blocks": [b.device_state() if b is not None else None
+                           for b in self.blocks],
+                "joint": (self.joint.device_state()
+                          if self.joint is not None else None)}
+
+    def install(self, st):
+        old = self.device_state()
+        for b, s in zip(self.blocks, st["blocks"]):
+            if b is not None:
+                b.install(s)
+        if self.joint is not None:
+            self.joint.install(st["joint"])
+        return old
+
+
 class BlockDiagonalPreconditioner:
     def __init__(self, assembler, u0, mode: str = "dense", dtype=None,
-                 df: bool = False, cache: bool = False):
+                 df: bool = False, cache: bool = False,
+                 amg_opts: dict | None = None):
         """df: also build the compensated double-f32 application path
         (`apply_df`) — the production-tolerance preconditioner on TPU, where
         a plain f32 apply is a noisy operator that stalls the df32 Krylov
-        recurrence (solvers/df32.py)."""
+        recurrence (solvers/df32.py).
+
+        amg_opts: extra SmoothedAggregationAMG kwargs for the JOINT
+        hierarchies (amg_phi's (phi_i, phi_e) pair, amg2's monolithic),
+        e.g. {"smooth_iters": 3, "cycles": 2} — the measured-best joint
+        configuration (scripts/pc_lab.py: warm 12.8 its vs 19.4 for the
+        block form, exact-application floor 11.2).  Concentration blocks
+        keep the default cheap cycle (they are not the bottleneck)."""
         dtype = dtype or assembler.dtype
         u0_np = np.asarray(u0, dtype=np.float64)
         self.mode = mode
         self.df = df
+        self.amg_opts = dict(amg_opts or {})
         if mode == "amg2":
             # joint-phi monolithic SA-AMG (see build_monolithic_precond):
             # ONE V-cycle over the whole vector, keeping the membrane
@@ -200,7 +350,7 @@ class BlockDiagonalPreconditioner:
             self._joint = SmoothedAggregationAMG(
                 Pm, dtype=dtype, df=df, cache=cache,
                 components=components, block_pairs=pairs,
-                per_component_lam=True)
+                per_component_lam=True, **self.amg_opts)
             self.apply_blocks = []
             return
         blocks = _build_blocks(assembler, u0_np)
@@ -257,50 +407,12 @@ class BlockDiagonalPreconditioner:
             coupling lives."""
             from knp_emi_cgx_tpu.solvers.amg import SmoothedAggregationAMG
 
-            a = assembler
-            p = a.params
-            ni, ne = bi.shape[0], be.shape[0]
-            rank_i = np.full(a.n_pts, -1, dtype=np.int64)
-            rank_i[a.intra_dofs_np] = np.arange(ni)
-            rank_e = np.full(a.n_pts, -1, dtype=np.int64)
-            rank_e[a.extra_dofs_np] = np.arange(ne)
-
-            NN = np.einsum("q,qa,qb->ab", a.wq_np, a.Nq_np, a.Nq_np)
-            fvals = (p.C_M / p.F) * a.L_f_np[:, None, None] * NN[None, :, :]
-            gi = rank_i[a.mtab_np]                      # [n_mf, nfn]
-            ge = ni + rank_e[a.mtab_np]
-            R = np.broadcast_to(gi[:, :, None], fvals.shape).ravel()
-            C = np.broadcast_to(ge[:, None, :], fvals.shape).ravel()
-            nj = ni + ne
-            cross = sp.csr_matrix((-fvals.ravel(), (R, C)), shape=(nj, nj))
-            # Dirichlet/pinned dofs keep their identity rows: zero the cross
-            # coupling there (bi/be already BC-eliminated in _build_blocks)
-            bcf = np.concatenate([
-                a.bc_flag_np[self.offsets[N]:self.offsets[N] + ni],
-                a.bc_flag_np[self.offsets[2 * N + 1]:
-                             self.offsets[2 * N + 1] + ne]])
-            if bcf.any():
-                Dm = sp.diags((~bcf).astype(float))
-                cross = Dm @ cross @ Dm
-            J = (sp.block_diag([bi, be]).tocsr() + cross + cross.T).tocsr()
-            J.sort_indices()
-
-            # aggregates never span biological compartments: per-cell tag
-            # labels on phi_i dofs, one ECS label on phi_e dofs
-            comp_node = np.zeros(a.n_pts, dtype=np.int64)
-            ic = a.topo.intra_cells
-            comp_node[a.cell_tab_np[ic].ravel()] = np.repeat(
-                np.asarray(a.topo.mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
-            components = np.zeros(nj, dtype=np.int64)
-            components[:ni] = comp_node[a.intra_dofs_np] + 1
-
-            # 2x2 smoothing blocks on (phi_i, phi_e) membrane dof partners
-            mv = np.unique(a.mtab_np)
-            pairs = np.stack([rank_i[mv], ni + rank_e[mv]], axis=1)
-
+            J, components, pairs, ni = build_joint_phi(
+                assembler, bi, be, self.offsets[N], self.offsets[2 * N + 1])
+            jopts = {"smooth_iters": 3, **self.amg_opts}
             amg = SmoothedAggregationAMG(
-                J, dtype=dtype, df=df, cache=cache, smooth_iters=3,
-                components=components, block_pairs=pairs)
+                J, dtype=dtype, df=df, cache=cache,
+                components=components, block_pairs=pairs, **jopts)
             return ("jphi", {"amg": amg, "ni": ni, "e_idx": 2 * N + 1})
 
         self.apply_blocks = []

@@ -226,8 +226,8 @@ def main():
           f"setup {time.perf_counter() - t0:.1f} s", flush=True)
 
     # ---- trajectory with exact solves --------------------------------
-    u = np.asarray(state.u, np.float64)
-    phi_m = np.asarray(state.phi_m, np.float64)
+    u = np.array(state.u, dtype=np.float64)       # writable copies
+    phi_m = np.array(state.phi_m, dtype=np.float64)
     gates = {k: np.asarray(getattr(state, k), np.float64)
              for k in ("n", "m", "h")}
     fd = a.field_dof
@@ -359,7 +359,12 @@ def main():
                 mv, bb, x0, M, ns=ns, rtol=args.rtol, restart=args.restart,
                 deflate_U=U if defl_k else None,
                 deflate_AU=AU if defl_k else None)
-            assert relres <= args.rtol * 1.5, (name, i, relres)
+            if relres > args.rtol * 1.5:
+                print(f"[lab] {name}: step {i} DID NOT CERTIFY "
+                      f"(relres {relres:.2e}) — variant disqualified",
+                      flush=True)
+                its_all.append(-its)
+                break
             xs.append(stp["x"])        # exact trajectory (same for all)
             its_all.append(its)
             if defl_k and V is not None:
