@@ -233,7 +233,10 @@ def main():
         return budget - (time.perf_counter() - t0)
 
     notes = []
-    alive = tpu_alive(min(150.0, left()))
+    # the runtime has a slow-first-compute mode (observed: jax.devices()
+    # in 10 s but the first 256x256 matmul blocking 237 s, then healthy) —
+    # give the liveness probe enough budget to survive it
+    alive = tpu_alive(min(420.0, left()))
     headline, fallback_cpu = None, False
     if alive:
         headline, err = run_point(f"{primary}:{steps}",

@@ -172,7 +172,19 @@ class LatticeAMG:
                  smooth_iters: int = 2, omega: float = 4.0 / 3.0,
                  coarse_size: int = 200, max_levels: int = 10,
                  n_fields: int = 1, pair_smooth: bool = False,
-                 cycles: int = 1):
+                 cycles: int = 1, deflate: np.ndarray | None = None):
+        """deflate: optional [k, n_lattice] near-kernel basis (e.g. one
+        indicator per biological compartment, lifted to the lattice).
+        Applied as an EXACT multiplicative coarse correction
+        x1 = Z (Z^T A Z)^+ Z^T r before each V-cycle.  Geometric 2^dim
+        aggregates can span DISCONNECTED compartments (two cells in one
+        lattice block), so unlike strength-based SA the tentative
+        prolongation cannot represent independent per-compartment
+        constants — for potential blocks those modes carry ~C_M/F ~ 1e-7
+        relative energy and the V-cycle stagnates on them (measured
+        deflated contraction 0.999, scripts/check_jphi_contraction.py).
+        The rank-k correction handles them exactly; on TPU it is two thin
+        mask matmuls (MXU) + one stencil matvec — still gather-free."""
         self.cycles = cycles
         dims = ((n_fields,) + tuple(dims)) if n_fields > 1 else tuple(dims)
         factors = (((1,) + (2,) * (len(dims) - 1)) if n_fields > 1
@@ -190,6 +202,15 @@ class LatticeAMG:
         self.levels: list[_Level] = []
         self.active_mask = jnp.asarray(
             np.isin(np.arange(n_pts), active).astype(np.float32))
+
+        self.W = self.Gp = None
+        if deflate is not None and len(deflate):
+            Z = np.asarray(deflate, dtype=np.float64)
+            assert Z.shape[1] == n_pts
+            G = Z @ (A @ Z.T)
+            Gp = np.linalg.pinv(G, rcond=1e-10)
+            self.W = jnp.asarray(Z.astype(np.float32))
+            self.Gp = jnp.asarray(Gp.astype(np.float32))
 
         for _ in range(max_levels):
             d = A.diagonal()
@@ -231,6 +252,7 @@ class LatticeAMG:
     def device_state(self):
         return {"coarse_inv": self.coarse_inv,
                 "active_mask": self.active_mask,
+                "W": self.W, "Gp": self.Gp,
                 "levels": [{k: getattr(lv, k) for k in _Level.ARRAYS}
                            for lv in self.levels]}
 
@@ -238,6 +260,7 @@ class LatticeAMG:
         old = self.device_state()
         self.coarse_inv = st["coarse_inv"]
         self.active_mask = st["active_mask"]
+        self.W, self.Gp = st["W"], st["Gp"]
         for lv, d in zip(self.levels, st["levels"]):
             for k, v in d.items():
                 setattr(lv, k, v)
@@ -301,12 +324,26 @@ class LatticeAMG:
         xh, xl = df_add(xh, xl, eh, el)
         return self._smooth_df(lv, xh, xl, bh, bl)
 
+    def _apply_once_df(self, rh, rl):
+        if self.W is None:
+            return self._cycle_df(0, rh, rl)
+        # exact near-kernel correction, then V-cycle on the deflated
+        # residual: x = Z Gp Z^T r + V(r - A Z Gp Z^T r)
+        sh, sl = dense_mv_df(self.W, rh, rl)          # Z^T r   [k]
+        th, tl = dense_mv_df(self.Gp, sh, sl)         # Gp s    [k]
+        ph, pl = df_scale_f32(th[:, None], tl[:, None], self.W)
+        x1h, x1l = df_sum(ph, pl, axis=0)             # Z t     [n]
+        yh, yl = self._mv(self.levels[0], x1h, x1l)
+        r2h, r2l = df_add(rh, rl, -yh, -yl)
+        x2h, x2l = self._cycle_df(0, r2h, r2l)
+        return df_add(x1h, x1l, x2h, x2l)
+
     def apply_df(self, rh, rl):
-        xh, xl = self._cycle_df(0, rh, rl)
+        xh, xl = self._apply_once_df(rh, rl)
         lv = self.levels[0]
         for _ in range(self.cycles - 1):
             yh, yl = self._mv(lv, xh, xl)
             sh, sl = df_add(rh, rl, -yh, -yl)
-            eh, el = self._cycle_df(0, sh, sl)
+            eh, el = self._apply_once_df(sh, sl)
             xh, xl = df_add(xh, xl, eh, el)
         return xh * self.active_mask, xl * self.active_mask

@@ -253,28 +253,60 @@ class LatticeBlockPreconditioner:
         u0_np = np.asarray(u0, dtype=np.float64)
         blocks = _build_blocks(a, u0_np)
         assert len(blocks) == a.nf
-        self.n_pts = int(np.prod(dims))
+        n_pts = self.n_pts = int(np.prod(dims))
         self.mode = mode
         self.N = N = a.N_ions
         opts = dict(amg_opts or {})
+        sizes = [b.shape[0] for b in blocks]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+
+        # per-compartment indicator vectors on the lattice (the potential
+        # blocks' near-kernel — see LatticeAMG `deflate`): one row per
+        # biological cell over its vertex closure, one for the ECS
+        comp_node = np.zeros(n_pts, dtype=np.int64)
+        ic = a.topo.intra_cells
+        comp_node[a.cell_tab_np[ic].ravel()] = np.repeat(
+            np.asarray(a.topo.mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
+        tags = np.unique(comp_node[comp_node > 0])
+        Z_i = (comp_node[None, :] == tags[:, None]).astype(np.float64)
+        Z_e = np.zeros((1, n_pts))
+        Z_e[0, a.extra_dofs_np] = 1.0
+
+        def bc_masked(Z, f):
+            bcf = a.bc_flag_np[offs[f]:offs[f + 1]]
+            if not bcf.any():
+                return Z
+            lift = np.ones(n_pts)
+            act = a.intra_dofs_np if f < a.nvar else a.extra_dofs_np
+            lift[act[bcf]] = 0.0
+            return Z * lift[None, :]
+
         self.blocks = []
         self.joint = None
         if mode == "amg_phi":
-            sizes = [b.shape[0] for b in blocks]
-            offs = np.concatenate([[0], np.cumsum(sizes)])
             J, _, _, _ = build_joint_phi(a, blocks[N], blocks[2 * N + 1],
                                          int(offs[N]), int(offs[2 * N + 1]))
             active_j = np.concatenate([a.intra_dofs_np,
-                                       self.n_pts + a.extra_dofs_np])
+                                       n_pts + a.extra_dofs_np])
+            pad = np.zeros_like(Z_i)
+            Z_j = np.concatenate([
+                np.concatenate([bc_masked(Z_i, N), pad], axis=1),
+                np.concatenate([np.zeros_like(Z_e),
+                                bc_masked(Z_e, 2 * N + 1)], axis=1)])
             jopts = {"smooth_iters": 3, **opts}
             self.joint = LatticeAMG(J, active_j, dims, n_fields=2,
-                                    pair_smooth=True, **jopts)
+                                    pair_smooth=True, deflate=Z_j, **jopts)
         for f, B in enumerate(blocks):
             if mode == "amg_phi" and f in (N, 2 * N + 1):
                 self.blocks.append(None)
                 continue
             active = (a.intra_dofs_np if f < a.nvar else a.extra_dofs_np)
-            self.blocks.append(LatticeAMG(B, active, dims))
+            defl = None
+            if f == N:
+                defl = bc_masked(Z_i, f)       # per-cell constants
+            elif f == 2 * N + 1:
+                defl = bc_masked(Z_e, f)       # ECS constant
+            self.blocks.append(LatticeAMG(B, active, dims, deflate=defl))
 
     def apply_df(self, rh, rl):
         """df32 apply on lattice vectors; fixed operator to ~2^-48."""

@@ -108,3 +108,64 @@ def test_lattice_pc_solve_matches_wrapped_amg():
     # allow a small slack but catch real regressions
     assert sum(s_lat.iterations) <= sum(s_ref.iterations) + 3, (
         s_lat.iterations, s_ref.iterations)
+
+
+def test_deflation_exact_on_compartment_constants():
+    """Geometric lattice aggregates can span DISCONNECTED biological
+    compartments, so per-cell constant modes (~C_M/F relative energy in
+    the potential blocks) are unrepresentable in the coarse space and the
+    V-cycle stagnates on them.  The rank-k deflation
+    (LatticeAMG deflate=...) must solve those modes EXACTLY in one apply:
+    for r = A z with z a combination of compartment constants, M r == z
+    up to the f32 basis arithmetic."""
+    import scipy.sparse as sp
+
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.main import build_models
+    from knp_emi_cgx_tpu.mesh.generation import generate_tissue_geometry
+    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI
+
+    cfg = load_config("configs/tissue/test_8c.yaml")
+    cfg.intra_tags = (2, 3)
+    cfg.gamma_tags = (2, 3)
+    cfg.neuron_tags = (2, 3)
+    cfg.glia_tags = ()
+    cfg.stimulus_tags = (2,)
+    cfg.membrane_data_tag = 2
+    mesh, tagger = generate_tissue_geometry(8, 2)
+    mesh._facet_tagger = tagger
+    problem = ProblemKNPEMI(cfg, mesh=mesh)
+    problem.init_ionic_models(build_models(problem))
+    a = problem.assembler
+    dims = detect_lattice(a.points_np)
+    blocks = _build_blocks(a, np.asarray(problem.initial_state().u,
+                                         np.float64))
+    N = a.N_ions
+    B = blocks[N]                       # phi_i block
+    active = a.intra_dofs_np
+    n_pts = int(np.prod(dims))
+
+    comp_node = np.zeros(n_pts, dtype=np.int64)
+    ic = a.topo.intra_cells
+    comp_node[a.cell_tab_np[ic].ravel()] = np.repeat(
+        np.asarray(a.topo.mesh.cell_tags)[ic], a.cell_tab_np.shape[1])
+    tags = np.unique(comp_node[comp_node > 0])
+    assert len(tags) == 2
+    Z = (comp_node[None, :] == tags[:, None]).astype(np.float64)
+
+    amg = LatticeAMG(B, active, dims, deflate=Z)
+    Bc = B.tocoo()
+    A_lat = sp.csr_matrix((Bc.data, (active[Bc.row], active[Bc.col])),
+                          shape=(n_pts, n_pts))
+
+    z_true = 3.0 * Z[0] - 2.0 * Z[1]    # per-cell constants
+    r = A_lat @ z_true
+    rh = jnp.asarray(r, jnp.float32)
+    rl = jnp.asarray(r - np.asarray(rh, np.float64), jnp.float32)
+    yh, yl = amg.apply_df(rh, rl)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    err = np.abs(y - z_true).max() / np.abs(z_true).max()
+    # f32 G/W arithmetic bounds the exactness (measured 2.4e-4 here);
+    # without deflation this mode comes back ~0 (the V-cycle barely
+    # touches it) and the error stays O(1)
+    assert err < 1e-3, err
