@@ -67,6 +67,12 @@ def child_main(spec: str):
     steps = int(steps)
     warmup = 3
     on_cpu = os.environ.get("BENCH_DEVICE") == "cpu"
+    # BENCH_SCAN=K: pack K steps per launch via lax.scan (fused step, no
+    # split).  Per-launch host<->device round-trips through the tunnel
+    # cost ~30 ms each and the split step takes ~8 of them per step —
+    # measured 0.574 s/step at 24^3 where the compute itself is ~10x less.
+    # Packing amortizes that K-fold; the whole chunk is ONE launch.
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
 
     import jax
 
@@ -74,6 +80,17 @@ def child_main(spec: str):
     if on_cpu:
         jax.config.update("jax_platform_name", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    else:
+        # persistent XLA compilation cache for the TPU target: the ~20-min
+        # step compile is the bench's wall-clock killer (BENCH_r03 rc=124).
+        # Round-3 rejected this for CPU targets (AOT machine-feature
+        # mismatch made cache-hit executables pathologically slow); TPU
+        # executables are compiled FOR the chip, so host features don't
+        # enter.  Key stability needs PYTHONHASHSEED pinned (the parent
+        # sets it for children).
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     import jax.numpy as jnp
 
@@ -82,11 +99,12 @@ def child_main(spec: str):
     from knp_emi_cgx_tpu.mesh.generation import generate_tissue_geometry
     from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
 
-    # split_step everywhere: bit-identical to the fused step (STATUS
+    # split_step by default: bit-identical to the fused step (STATUS
     # gotcha 8) and it compiles ~4x faster (three bounded programs instead
     # of one giant GMRES while_loop) — the fused step's XLA compile alone
-    # (~15 min at 24^3) is what timed out BENCH_r03
-    split = True
+    # (~15 min at 24^3) is what timed out BENCH_r03.  Scan mode needs the
+    # fused step (the scan body is one program by construction).
+    split = scan_k == 0
     cfg = load_config("configs/tissue/5m_100c.yaml")
     if n_cells != 100:
         cfg.intra_tags = tuple(range(2, n_cells + 2))
@@ -118,6 +136,44 @@ def child_main(spec: str):
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()
     t_setup = time.perf_counter() - tic
+
+    if scan_k:
+        import numpy as np
+
+        n_dofs = int(problem.assembler.n_dofs)
+        mark(f"setup done in {t_setup:.1f} s, n_dofs={n_dofs}; "
+             f"compiling scan-{scan_k} program (fused step)")
+        tic = time.perf_counter()
+        state, _ = solver.scan_solve(state, scan_k, return_its=True)
+        jax.block_until_ready(state)
+        t_warmup = time.perf_counter() - tic
+        stencil = getattr(solver, "_stencil", None)
+        mark(f"warmup done in {t_warmup:.1f} s"
+             f"{' (stencil operator)' if stencil is not None else ''}; "
+             f"timing {steps} steps in scan-{scan_k} launches")
+        its_chunks = []
+        done = 0
+        tic = time.perf_counter()
+        while done < steps:
+            state, its = solver.scan_solve(state, scan_k, return_its=True)
+            jax.block_until_ready(state)
+            its_chunks.append(its)
+            done += scan_k
+        t_block = time.perf_counter() - tic
+        tic = time.perf_counter()
+        max_phi = float(jnp.max(jnp.abs(state.phi_m)))   # execution fence
+        t_read = time.perf_counter() - tic
+        its_np = [int(v) for arr in its_chunks for v in np.asarray(arr)]
+        print(json.dumps({
+            "point": point, "steps": done, "warmup": scan_k,
+            "n_dofs": n_dofs, "t_setup": t_setup, "t_warmup": t_warmup,
+            "t_block": t_block, "t_readback": t_read,
+            "max_phi": max_phi, "finite": max_phi == max_phi,
+            "its": its_np, "split": False, "scan_k": scan_k,
+            "stencil": stencil is not None,
+            "device": str(jax.devices()[0]),
+        }), flush=True)
+        return
 
     step = solver._build_step(state)
     # carry layout: df32 [2, n] pair / f64 (CPU) / lattice (stencil path)
@@ -197,8 +253,11 @@ def tpu_alive(timeout_s: float) -> bool:
         return False
 
 
-def run_point(spec: str, timeout_s: float, device: str | None = None):
-    env = dict(os.environ, BENCH_CHILD=spec)
+def run_point(spec: str, timeout_s: float, device: str | None = None,
+              scan: int = 0):
+    env = dict(os.environ, BENCH_CHILD=spec, PYTHONHASHSEED="0")
+    if scan:
+        env["BENCH_SCAN"] = str(scan)
     if device:
         env["BENCH_DEVICE"] = device
     try:
@@ -238,11 +297,19 @@ def main():
     # give the liveness probe enough budget to survive it
     alive = tpu_alive(min(420.0, left()))
     headline, fallback_cpu = None, False
+    scan_k = int(os.environ.get("BENCH_SCAN", "5"))
     if alive:
+        # primary: scan-packed launches (K steps per launch — per-launch
+        # tunnel round-trips cost ~30 ms and the split step needs ~8 of
+        # them per step: measured 0.574 s/step at 24^3 vs ~10x less
+        # compute).  The ~20-min step compile is amortized by the
+        # persistent XLA cache (.xla_cache) — a warm round replays it in
+        # seconds; a cold round needs the full child budget.
         headline, err = run_point(f"{primary}:{steps}",
-                                  max(300.0, left() - CPU_RESERVE))
+                                  max(300.0, left() - CPU_RESERVE),
+                                  scan=scan_k)
         if headline is None:
-            notes.append(f"primary {primary} failed: {err}")
+            notes.append(f"primary {primary} (scan-{scan_k}) failed: {err}")
     else:
         notes.append("TPU unresponsive at liveness check (compute hangs; "
                      "device listing ok) — measuring on host CPU instead")
@@ -278,6 +345,7 @@ def main():
         "gmres_iterations_max": max(its) if its else None,
         "rtol": RTOL, "pc": PC_MODE, "warm_start": WARM_START,
         "split_step": headline["split"],
+        "scan_launch_steps": headline.get("scan_k", 0),
         "setup_seconds": round(headline["t_setup"], 2),
         "warmup_seconds": round(headline["t_warmup"], 2),
         "device": headline["device"],

@@ -582,6 +582,8 @@ class SolverKNPEMI:
             self.amg_opts["smooth_iters"] = int(ksp["amg_smooth_iters"])
         if ksp.get("amg_cycles") is not None:
             self.amg_opts["cycles"] = int(ksp["amg_cycles"])
+        if ksp.get("amg_cycle_damp") is not None:
+            self.amg_opts["cycle_damp"] = float(ksp["amg_cycle_damp"])
         lo = ksp.get("launch_outer")
         self.launch_outer = int(lo) if lo is not None else None
         self.launch_count = int(ksp.get("launch_count", 6))
@@ -1116,9 +1118,12 @@ class SolverKNPEMI:
                 np.c_[rows, cols, np.asarray(vals)])
         np.save(os.path.join(out_dir, "bvec.npy"), np.asarray(b))
 
-    def scan_solve(self, state: KNPEMIState, num_steps: int) -> KNPEMIState:
+    def scan_solve(self, state: KNPEMIState, num_steps: int,
+                   return_its: bool = False) -> KNPEMIState:
         """Pure on-device time loop (lax.scan) — no host round-trips; used
-        for benchmarking and production runs without per-step I/O."""
+        for benchmarking and production runs without per-step I/O.
+        return_its: also return the [num_steps] per-step GMRES iteration
+        counts (device array — read it only AFTER any timing fence)."""
         if self.split_step:
             # split_step exists to BOUND single-program size on runtimes
             # that kill large launches; tracing the whole loop into one
@@ -1136,8 +1141,8 @@ class SolverKNPEMI:
                 s2, its = step(s)
                 return s2, its
 
-            final, _ = jax.lax.scan(body, state, None, length=num_steps)
-            return final
+            final, its = jax.lax.scan(body, state, None, length=num_steps)
+            return (final, its) if return_its else final
 
         quad = (make_extrapolator(self.precision == "df32"
                                   and not self.direct, 2)
@@ -1155,7 +1160,7 @@ class SolverKNPEMI:
             s2, its = step(s)
             return (s2, x_cur, x_prev, k + 1), its
 
-        (final, _, _, _), _ = jax.lax.scan(
+        (final, _, _, _), its = jax.lax.scan(
             body, (state, state.x, state.x, jnp.int32(0)), None,
             length=num_steps)
-        return final
+        return (final, its) if return_its else final

@@ -253,7 +253,7 @@ class SmoothedAggregationAMG:
                  cache: bool = False,
                  per_component_lam: bool = False,
                  keep_host: bool = False,
-                 cycles: int = 1):
+                 cycles: int = 1, cycle_damp: float = 1.0):
         """components: optional int label per dof (e.g. biological
         compartment id).  When given, aggregates never span two components,
         so the tentative prolongation exactly reproduces every
@@ -269,6 +269,10 @@ class SmoothedAggregationAMG:
         # most of the gap to the P-form's exact-application iteration floor
         # (pc_lab: joint-phi s3c2 12.8 warm its vs 17.6 at s3c1, floor 11.2)
         self.cycles = cycles
+        # damp extra cycles: M_2 = M + damp*M(I - A M) stays nonsingular
+        # for all lam(MA) in (0,2] iff damp<1 (undamped 2-cycle measured
+        # STAGNANT at tissue12x2c where lam(MA) reaches 2; scripts/pc_lab)
+        self.cycle_damp = cycle_damp
         self.df = df
         self.levels: list[AMGLevel] = []
         # keep_host: retain the host-side (A, P, Binv, lam) per level — the
@@ -448,7 +452,7 @@ class SmoothedAggregationAMG:
         lv = self.levels[0]
         for _ in range(self.cycles - 1):
             r = b - csr_mv(lv.A_vals, x, lv.A_indices, lv.A_row_ids, lv.n)
-            x = x + self._cycle(0, r)
+            x = x + self.cycle_damp * self._cycle(0, r)
         return x
 
     # ------------------------------------------------------------------
@@ -494,7 +498,8 @@ class SmoothedAggregationAMG:
 
     def apply_df(self, rh, rl):
         """Fixed-to-df-accuracy V-cycle apply on a df32 vector."""
-        from knp_emi_cgx_tpu.solvers.df32 import df_add, ell_mv_df
+        from knp_emi_cgx_tpu.solvers.df32 import (df_add, df_scale_f32,
+                                                  ell_mv_df)
 
         if not hasattr(self.levels[0], "A_ell_cols"):
             raise RuntimeError("build SmoothedAggregationAMG with df=True")
@@ -504,5 +509,6 @@ class SmoothedAggregationAMG:
             yh, yl = ell_mv_df(lv.A_ell_cols, lv.A_ell_vals, xh, xl)
             sh, sl = df_add(rh, rl, -yh, -yl)
             eh, el = self._cycle_df(0, sh, sl)
+            eh, el = df_scale_f32(eh, el, np.float32(self.cycle_damp))
             xh, xl = df_add(xh, xl, eh, el)
         return xh, xl

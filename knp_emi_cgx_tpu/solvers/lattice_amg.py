@@ -64,10 +64,13 @@ def _block_agg(dims, factors=None):
 
 class _Level:
     __slots__ = ("dims", "cdims", "factors", "starts", "pad_lo", "pad_hi",
-                 "stack", "dinv", "lam", "w_transfer", "has_P", "n")
+                 "stack", "dinv", "w1", "w2", "wt", "has_P", "n")
 
     def __init__(self, A, dims, cdims, lam, omega, has_P, factors=None,
                  pair_stride=None):
+        """lam: lambda_max(Binv A) — a scalar, or a per-dof vector when the
+        operator is block-diagonal over fields with different spectral
+        scales (per-field bounds; constant within each field segment)."""
         offs, stack_np = bucket_offsets(A)
         self.n = A.shape[0]
         self.dims = dims
@@ -79,12 +82,16 @@ class _Level:
         self.stack = jnp.asarray(stack_np)
         self.dinv = jnp.asarray(
             _pair_binv(A, pair_stride).astype(np.float32))
-        self.lam = float(lam)
-        self.w_transfer = np.float32(omega / lam)
+        lam = np.asarray(lam, dtype=np.float32)
+        # alternating two-weight Jacobi targets [0.3*lam, 1.1*lam]; the
+        # transfer weight is omega/lam (smoothed-aggregation standard)
+        self.w1 = jnp.asarray(1.0 / (np.float32(0.7) * lam))
+        self.w2 = jnp.asarray(1.0 / (np.float32(1.1) * lam))
+        self.wt = jnp.asarray(np.float32(omega) / lam)
         self.has_P = has_P
 
     # device-array bundling
-    ARRAYS = ("stack", "dinv")
+    ARRAYS = ("stack", "dinv", "w1", "w2", "wt")
 
 
 def _pair_binv(A, pair_stride):
@@ -172,7 +179,9 @@ class LatticeAMG:
                  smooth_iters: int = 2, omega: float = 4.0 / 3.0,
                  coarse_size: int = 200, max_levels: int = 10,
                  n_fields: int = 1, pair_smooth: bool = False,
-                 cycles: int = 1, deflate: np.ndarray | None = None):
+                 cycles: int = 1, cycle_damp: float = 1.0,
+                 deflate: np.ndarray | None = None,
+                 per_field_lam: bool = False):
         """deflate: optional [k, n_lattice] near-kernel basis (e.g. one
         indicator per biological compartment, lifted to the lattice).
         Applied as an EXACT multiplicative coarse correction
@@ -186,6 +195,7 @@ class LatticeAMG:
         The rank-k correction handles them exactly; on TPU it is two thin
         mask matmuls (MXU) + one stencil matvec — still gather-free."""
         self.cycles = cycles
+        self.cycle_damp = np.float32(cycle_damp)
         dims = ((n_fields,) + tuple(dims)) if n_fields > 1 else tuple(dims)
         factors = (((1,) + (2,) * (len(dims) - 1)) if n_fields > 1
                    else (2,) * len(dims))
@@ -212,13 +222,29 @@ class LatticeAMG:
             self.W = jnp.asarray(Z.astype(np.float32))
             self.Gp = jnp.asarray(Gp.astype(np.float32))
 
+        if per_field_lam and (pair_smooth or n_fields < 2):
+            raise ValueError("per_field_lam needs n_fields > 1, no pairs")
         for _ in range(max_levels):
             d = A.diagonal()
             act = d != 0.0
             n_act = int(act.sum())
             ps = (A.shape[0] // 2) if pair_smooth else None
             Binv = _binv_sp(A, ps)
-            lam = _lam_max_jacobi(A, Binv=Binv)
+            if per_field_lam:
+                # block-diagonal over fields with very different spectral
+                # scales (mass+diffusion vs conduction blocks): one shared
+                # scalar lam would under-relax the small-lam fields.  The
+                # field axis never coarsens, so the per-dof component
+                # label is just flat_index // n_spatial at every level.
+                from knp_emi_cgx_tpu.solvers.amg import \
+                    _lam_max_per_component
+
+                comp = np.repeat(np.arange(n_fields),
+                                 int(np.prod(dims[1:])))
+                lam = _lam_max_per_component(A, comp, Binv)
+                lam = np.maximum(lam, 1e-30)
+            else:
+                lam = _lam_max_jacobi(A, Binv=Binv)
             spatial_min = min(s for s, f in zip(dims, factors) if f > 1)
             if n_act <= coarse_size or spatial_min <= 2:
                 self.levels.append(_Level(A, dims, dims, lam, omega,
@@ -232,7 +258,9 @@ class LatticeAMG:
             P0 = sp.csr_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], int(np.prod(cdims))))
-            P = P0 - (omega / lam) * (Binv @ (A @ P0))
+            wt = sp.diags(omega / lam) if np.ndim(lam) else (omega / lam)
+            P = P0 - wt @ (Binv @ (A @ P0)) if np.ndim(lam) \
+                else P0 - wt * (Binv @ (A @ P0))
             A = (P.T @ A @ P).tocsr()
             A.sum_duplicates()
             A.eliminate_zeros()
@@ -290,10 +318,8 @@ class LatticeAMG:
         return df_scale_f32(uh, ul, w)
 
     def _smooth_df(self, lv: _Level, xh, xl, bh, bl):
-        weights = (np.float32(1.0 / (0.7 * lv.lam)),
-                   np.float32(1.0 / (1.1 * lv.lam)))
         for it in range(self.smooth_iters):
-            w = weights[it % 2]
+            w = lv.w1 if it % 2 == 0 else lv.w2
             yh, yl = self._mv(lv, xh, xl)
             rh, rl = df_add(bh, bl, -yh, -yl)
             uh, ul = self._binv_df(lv, rh, rl, w)
@@ -309,9 +335,9 @@ class LatticeAMG:
         yh, yl = self._mv(lv, xh, xl)
         rh, rl = df_add(bh, bl, -yh, -yl)
         # R = P^T = P0^T (I - w A Binv): one stencil matvec + block sums
-        sh, sl = self._binv_df(lv, rh, rl, np.float32(1.0))
+        sh, sl = self._binv_df(lv, rh, rl, lv.wt)
         th, tl = self._mv(lv, sh, sl)
-        th, tl = df_scale_f32(th, tl, -lv.w_transfer)
+        th, tl = df_scale_f32(th, tl, np.float32(-1.0))
         gh, gl = df_add(rh, rl, th, tl)
         rch, rcl = _downsum_df(gh, gl, lv.dims, lv.cdims, lv.factors)
         xch, xcl = self._cycle_df(k + 1, rch, rcl)
@@ -319,7 +345,7 @@ class LatticeAMG:
         uh = _upsample_crop(xch, lv.cdims, lv.dims, lv.factors)
         ul = _upsample_crop(xcl, lv.cdims, lv.dims, lv.factors)
         th, tl = self._mv(lv, uh, ul)
-        th, tl = self._binv_df(lv, th, tl, -lv.w_transfer)
+        th, tl = self._binv_df(lv, th, tl, -lv.wt)
         eh, el = df_add(uh, ul, th, tl)
         xh, xl = df_add(xh, xl, eh, el)
         return self._smooth_df(lv, xh, xl, bh, bl)
@@ -345,5 +371,6 @@ class LatticeAMG:
             yh, yl = self._mv(lv, xh, xl)
             sh, sl = df_add(rh, rl, -yh, -yl)
             eh, el = self._apply_once_df(sh, sl)
+            eh, el = df_scale_f32(eh, el, self.cycle_damp)
             xh, xl = df_add(xh, xl, eh, el)
         return xh * self.active_mask, xl * self.active_mask

@@ -233,17 +233,29 @@ def build_joint_phi(assembler, bi, be, off_i, off_e):
 class LatticeBlockPreconditioner:
     """Block-diagonal preconditioner applied natively to UNCOMPACTED
     lattice vectors [nf * n_pts] (the stencil operator's solution space,
-    ops/stencil.py): per-field gather-free LatticeAMG V-cycles
-    (solvers/lattice_amg.py), field segments addressed by static slices.
+    ops/stencil.py), with gather-free geometric V-cycles
+    (solvers/lattice_amg.py) — built for the axon TPU where XLA's gather
+    lowering is ~500x off the bandwidth bound.
 
-    Same P form and V-cycle semantics as BlockDiagonalPreconditioner
-    mode="amg" (or "amg_phi": joint (phi_i, phi_e) hierarchy keeping the
-    membrane capacitive cross-coupling — the form whose exact-application
-    iteration floor is 11.2 vs 18.8 for the block form, scripts/pc_lab.py
-    — with stride-addressed 2x2 membrane pair smoothing); only the
-    aggregation is geometric (2^dim lattice blocks) and the application
-    has no gathers — built for the axon TPU where XLA's gather lowering
-    is ~500x off the bandwidth bound."""
+    The per-field hierarchies are BATCHED into one block-diagonal lattice
+    AMG: the field axis is a never-coarsened lattice axis, so every level
+    is a single [K, nf*n] diagonal stack and the whole apply is ~17 wide
+    fused ops instead of nf*17 thin ones (8 separate per-field V-cycles
+    measured launch/op-count-bound at 24^3: ~25 ms/apply; the op count is
+    the production bottleneck at small per-field sizes).  Per-field
+    spectral bounds keep the smoothing correctly scaled per block
+    (mass+diffusion vs conduction operators differ by orders of
+    magnitude).  Compartment-constant deflation covers the potential
+    blocks' near-kernel (see LatticeAMG `deflate`).
+
+    mode="amg_phi": the (phi_i, phi_e) pair additionally gets ONE joint
+    hierarchy keeping the membrane capacitive cross-coupling (pair
+    smoothing + deflation), the concentrations stay in the batched
+    block-diagonal hierarchy.
+
+    Same P form and V-cycle semantics as BlockDiagonalPreconditioner;
+    only the aggregation is geometric (2^dim lattice blocks).
+    """
 
     def __init__(self, assembler, u0, dims, mode: str = "amg",
                  amg_opts: dict | None = None):
@@ -256,6 +268,7 @@ class LatticeBlockPreconditioner:
         n_pts = self.n_pts = int(np.prod(dims))
         self.mode = mode
         self.N = N = a.N_ions
+        self.nf = nf = a.nf
         opts = dict(amg_opts or {})
         sizes = [b.shape[0] for b in blocks]
         offs = np.concatenate([[0], np.cumsum(sizes)])
@@ -281,8 +294,8 @@ class LatticeBlockPreconditioner:
             lift[act[bcf]] = 0.0
             return Z * lift[None, :]
 
-        self.blocks = []
         self.joint = None
+        phi_fields = (N, 2 * N + 1)
         if mode == "amg_phi":
             J, _, _, _ = build_joint_phi(a, blocks[N], blocks[2 * N + 1],
                                          int(offs[N]), int(offs[2 * N + 1]))
@@ -296,55 +309,74 @@ class LatticeBlockPreconditioner:
             jopts = {"smooth_iters": 3, **opts}
             self.joint = LatticeAMG(J, active_j, dims, n_fields=2,
                                     pair_smooth=True, deflate=Z_j, **jopts)
-        for f, B in enumerate(blocks):
-            if mode == "amg_phi" and f in (N, 2 * N + 1):
-                self.blocks.append(None)
-                continue
-            active = (a.intra_dofs_np if f < a.nvar else a.extra_dofs_np)
-            defl = None
-            if f == N:
-                defl = bc_masked(Z_i, f)       # per-cell constants
-            elif f == 2 * N + 1:
-                defl = bc_masked(Z_e, f)       # ECS constant
-            self.blocks.append(LatticeAMG(B, active, dims, deflate=defl))
+            batch_fields = [f for f in range(nf) if f not in phi_fields]
+        else:
+            batch_fields = list(range(nf))
+        self.batch_fields = batch_fields
+
+        # batched block-diagonal hierarchy over the remaining fields
+        B_all = sp.block_diag([blocks[f] for f in batch_fields]).tocoo()
+        act_all, Z_rows = [], []
+        nb = len(batch_fields)
+        for slot, f in enumerate(batch_fields):
+            act_f = (a.intra_dofs_np if f < a.nvar else a.extra_dofs_np)
+            act_all.append(slot * n_pts + act_f)
+            if f == N:                      # phi_i (mode "amg" only)
+                Zr = np.zeros((Z_i.shape[0], nb * n_pts))
+                Zr[:, slot * n_pts:(slot + 1) * n_pts] = bc_masked(Z_i, f)
+                Z_rows.append(Zr)
+            elif f == 2 * N + 1:            # phi_e (mode "amg" only)
+                Zr = np.zeros((1, nb * n_pts))
+                Zr[:, slot * n_pts:(slot + 1) * n_pts] = bc_masked(Z_e, f)
+                Z_rows.append(Zr)
+        defl = np.concatenate(Z_rows) if Z_rows else None
+        self.batched = LatticeAMG(
+            B_all, np.concatenate(act_all), dims, n_fields=nb,
+            per_field_lam=True, coarse_size=200 * nb, deflate=defl)
 
     def apply_df(self, rh, rl):
         """df32 apply on lattice vectors; fixed operator to ~2^-48."""
         n, N = self.n_pts, self.N
-        outs_h = [None] * len(self.blocks)
-        outs_l = [None] * len(self.blocks)
-        for f, blk in enumerate(self.blocks):
-            if blk is None:
-                continue
-            lo = f * n
-            sh = jax.lax.slice(rh, (lo,), (lo + n,))
-            sl = jax.lax.slice(rl, (lo,), (lo + n,))
-            outs_h[f], outs_l[f] = blk.apply_df(sh, sl)
-        if self.joint is not None:
-            lo_i, lo_e = N * n, (2 * N + 1) * n
-            sh = jnp.concatenate([
-                jax.lax.slice(rh, (lo_i,), (lo_i + n,)),
-                jax.lax.slice(rh, (lo_e,), (lo_e + n,))])
-            sl = jnp.concatenate([
-                jax.lax.slice(rl, (lo_i,), (lo_i + n,)),
-                jax.lax.slice(rl, (lo_e,), (lo_e + n,))])
-            zh, zl = self.joint.apply_df(sh, sl)
-            outs_h[N], outs_l[N] = zh[:n], zl[:n]
-            outs_h[2 * N + 1], outs_l[2 * N + 1] = zh[n:], zl[n:]
+        if self.joint is None:
+            return self.batched.apply_df(rh, rl)
+        # gather the batched fields' contiguous segments, apply, and
+        # interleave the joint (phi_i, phi_e) result back
+        segs_h = [jax.lax.slice(rh, (f * n,), ((f + 1) * n,))
+                  for f in self.batch_fields]
+        segs_l = [jax.lax.slice(rl, (f * n,), ((f + 1) * n,))
+                  for f in self.batch_fields]
+        zh, zl = self.batched.apply_df(jnp.concatenate(segs_h),
+                                       jnp.concatenate(segs_l))
+        lo_i, lo_e = N * n, (2 * N + 1) * n
+        jh = jnp.concatenate([jax.lax.slice(rh, (lo_i,), (lo_i + n,)),
+                              jax.lax.slice(rh, (lo_e,), (lo_e + n,))])
+        jl = jnp.concatenate([jax.lax.slice(rl, (lo_i,), (lo_i + n,)),
+                              jax.lax.slice(rl, (lo_e,), (lo_e + n,))])
+        ph, pl = self.joint.apply_df(jh, jl)
+        outs_h, outs_l = [], []
+        slot = 0
+        for f in range(self.nf):
+            if f == N:
+                outs_h.append(ph[:n]); outs_l.append(pl[:n])
+            elif f == 2 * N + 1:
+                outs_h.append(ph[n:]); outs_l.append(pl[n:])
+            else:
+                outs_h.append(
+                    jax.lax.slice(zh, (slot * n,), ((slot + 1) * n,)))
+                outs_l.append(
+                    jax.lax.slice(zl, (slot * n,), ((slot + 1) * n,)))
+                slot += 1
         return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
 
     # -- device-array bundling (utils/devicestate.py pattern) --
     def device_state(self):
-        return {"blocks": [b.device_state() if b is not None else None
-                           for b in self.blocks],
+        return {"batched": self.batched.device_state(),
                 "joint": (self.joint.device_state()
                           if self.joint is not None else None)}
 
     def install(self, st):
         old = self.device_state()
-        for b, s in zip(self.blocks, st["blocks"]):
-            if b is not None:
-                b.install(s)
+        self.batched.install(st["batched"])
         if self.joint is not None:
             self.joint.install(st["joint"])
         return old

@@ -278,7 +278,13 @@ def main():
     lu_jphi = spla.splu(P_jphi.tocsc())
 
     def amg_apply_of(Pm, cycles=1, smooth_iters=2, components=None,
-                     block_pairs=None, per_component_lam=False, **kw):
+                     block_pairs=None, per_component_lam=False,
+                     cycle_damp=1.0, **kw):
+        """cycle_damp < 1 keeps the multi-cycle operator
+        M_2 = M + damp*M(I - A M) nonsingular even when lam(MA) reaches 2
+        (observed: undamped 2-cycle jphi STAGNATED GMRES at tissue12x2c —
+        1500-it cap — while converging at 16x8c; the eigenvalue
+        mu(1 + damp(1-mu)) is positive for all mu in (0,2] iff damp<1)."""
         amg = SmoothedAggregationAMG(
             Pm, dtype=jnp.float64, smooth_iters=smooth_iters,
             components=components, block_pairs=block_pairs,
@@ -288,7 +294,7 @@ def main():
             z = amg(jnp.asarray(r))
             for _ in range(cycles - 1):
                 rr = r - np.asarray(Pm @ np.asarray(z, np.float64))
-                z = z + amg(jnp.asarray(rr))
+                z = z + cycle_damp * amg(jnp.asarray(rr))
             return np.asarray(z, np.float64)
         return apply
 
@@ -319,6 +325,10 @@ def main():
             M=("amg", P_jphi, dict(components=comp, block_pairs=pairs,
                                    per_component_lam=True, smooth_iters=3,
                                    cycles=2)), pred="lin"),
+        "jphi_amg_s3c2d": dict(
+            M=("amg", P_jphi, dict(components=comp, block_pairs=pairs,
+                                   per_component_lam=True, smooth_iters=3,
+                                   cycles=2, cycle_damp=0.7)), pred="lin"),
         "jphi_amg_quad": dict(
             M=("amg", P_jphi, dict(components=comp, block_pairs=pairs,
                                    per_component_lam=True)), pred="quad"),
