@@ -552,6 +552,10 @@ class SolverKNPEMI:
         #   "ell"     — force the gather ELL path
         self.matvec_mode = str(ksp.get("matvec", "auto"))
         self.mixed_precision = self.precision == "f64"
+        if self.pc_mode == "amg_gs" and self.mixed_precision:
+            raise ValueError(
+                "pc_mode amg_gs is not wired into the selective-f64 "
+                "refine path; use precision f32/df32 (or pc_mode amg_phi)")
         # split_step: run assembly / Krylov solve / field scatter as THREE
         # jitted programs instead of one.  The axon TPU runtime faults when
         # the fused single-program step grows past ~5e5 dofs (assembly and
@@ -602,6 +606,47 @@ class SolverKNPEMI:
         self._pc_lattice = False
 
     # ------------------------------------------------------------------
+    def _df_precond(self, pc, pc_lattice, stencil, mv_df):
+        """M closure for gmres_df32 (fused + split step builders share it).
+
+        Diagonal modes return the block apply unchanged.  pc_mode
+        "amg_gs" composes the phi-first block GAUSS-SEIDEL sweep
+
+            z_phi = M_phi(r|phi);   z = z_phi + M_ion(r - A z_phi)
+
+        using the step's own matvec for the ion<-phi drift-coupling
+        correction — one extra operator matvec per apply buys the
+        triangular form's iteration floor (tissue16x8c rtol 1e-9 warm:
+        11.25 its vs 16.75 for the best diagonal form jphi s3c2 and
+        ~19-24 for block "amg"; scripts/pc_lab.py, output/pc_lab_tri*).
+        The half-applies have disjoint supports, so the final adds are
+        exact in df arithmetic."""
+        if pc is None:
+            return None
+        gs = self.pc_mode == "amg_gs"
+        if pc_lattice or stencil is None:
+            if not gs:
+                return pc.apply_df
+            phi_half = lambda rh, rl: pc.apply_df_part(rh, rl, "phi")
+            ion_half = lambda rh, rl: pc.apply_df_part(rh, rl, "ion")
+        else:
+            if not gs:
+                return stencil.wrap_precond_df(pc.apply_df)
+            phi_half = stencil.wrap_precond_df(
+                lambda rh, rl: pc.apply_df_part(rh, rl, "phi"))
+            ion_half = stencil.wrap_precond_df(
+                lambda rh, rl: pc.apply_df_part(rh, rl, "ion"))
+
+        from knp_emi_cgx_tpu.solvers.df32 import df_add, df_neg
+
+        def M(rh, rl):
+            z1h, z1l = phi_half(rh, rl)
+            ah, al = mv_df(z1h, z1l)
+            r2h, r2l = df_add(rh, rl, *df_neg(ah, al))
+            z2h, z2l = ion_half(r2h, r2l)
+            return z1h + z2h, z1l + z2l
+        return M
+
     def _build_step(self, state0: KNPEMIState):
         p = self.problem
         a = p.assembler
@@ -645,7 +690,8 @@ class SolverKNPEMI:
             if u0 is None:
                 u0 = np.asarray(state0.u)   # fallback: costs the D2H switch
             lattice_dims = None
-            if stencil is not None and self.pc_mode in ("amg", "amg_phi"):
+            if stencil is not None and self.pc_mode in ("amg", "amg_phi",
+                                                        "amg_gs"):
                 from knp_emi_cgx_tpu.ops.stencil import detect_lattice
 
                 lattice_dims = detect_lattice(a.points_np)
@@ -763,12 +809,7 @@ class SolverKNPEMI:
                         def mv_df(xh, xl):
                             return stencil.matvec_df(dgh, xh, xl, lo_rows)
 
-                        if pc is None:
-                            M = None
-                        elif pc_lattice:
-                            M = pc.apply_df      # lattice-native, no maps
-                        else:
-                            M = stencil.wrap_precond_df(pc.apply_df)
+                        M = self._df_precond(pc, pc_lattice, stencil, mv_df)
                         b_s = stencil.inject(b)
                     else:
                         if has_neumann:
@@ -783,7 +824,7 @@ class SolverKNPEMI:
                                 return ell.matvec_df(ell_h, xh, xl)
                             return ell.matvec_df2(ell_h, ell_l, xh, xl)
 
-                        M = pc.apply_df if pc is not None else None
+                        M = self._df_precond(pc, False, None, mv_df)
                         b_s = b
 
                     res = gmres_df32(
@@ -808,9 +849,19 @@ class SolverKNPEMI:
                 else:
                     indices, row_ids = a.indices, a.row_ids
                     n_dofs = a.n_dofs
+
+                    def mv(v):
+                        return csr_mv(vals, v, indices, row_ids, n_dofs)
+
+                    M_plain = pc
+                    if pc is not None and self.pc_mode == "amg_gs":
+                        # phi-first block Gauss-Seidel (see _df_precond)
+                        def M_plain(r):
+                            z1 = pc.apply_part(r, "phi")
+                            z2 = pc.apply_part(r - mv(z1), "ion")
+                            return z1 + z2
                     res = gmres(
-                        lambda v: csr_mv(vals, v, indices, row_ids, n_dofs),
-                        b, state.x, M=pc,
+                        mv, b, state.x, M=M_plain,
                         nullspace=a.nullspace if has_neumann else None,
                         rtol=rtol, restart=restart,
                         project_nullspace=has_neumann)
@@ -926,22 +977,17 @@ class SolverKNPEMI:
                     def mv_df(xh, xl):
                         return stencil.matvec_df(op_h, xh, xl, lo)
 
-                    if pc is None:
-                        M = None
-                    elif pc_lattice:
-                        M = pc.apply_df          # lattice-native, no maps
-                    else:
-                        M = stencil.wrap_precond_df(pc.apply_df)
+                    M = self._df_precond(pc, pc_lattice, stencil, mv_df)
                 elif has_neumann:
                     def mv_df(xh, xl):
                         return ell.matvec_df2(op_h, op_l, xh, xl)
 
-                    M = pc.apply_df if pc is not None else None
+                    M = self._df_precond(pc, False, None, mv_df)
                 else:
                     def mv_df(xh, xl):
                         return ell.matvec_df(op_h, xh, xl)
 
-                    M = pc.apply_df if pc is not None else None
+                    M = self._df_precond(pc, False, None, mv_df)
                 kwargs = {}
                 if launch_outer is not None:
                     kwargs["max_outer"] = launch_outer

@@ -27,6 +27,20 @@ Application modes:
     cross-coupling (the EMI-solver recipe; see `jphi_of` below).
   * "amg2" — one joint-phi monolithic hierarchy over all 8 fields
     (measured worse than "amg" at the bench point; kept as an option).
+  * "amg_gs" — phi-first block GAUSS-SEIDEL: same blocks as "amg_phi",
+    applied triangularly — the (phi_i, phi_e) jphi cycle first, then the
+    ion cycles on the coupling-corrected residual r_ion - A_ion,phi z_phi
+    (one extra operator matvec per apply; the composition lives in the
+    solver, which owns the matvec — this class only exposes the two
+    halves via `apply_part`/`apply_df_part`).  Measured on tissue16x8c at
+    rtol 1e-9 (scripts/pc_lab.py): warm 11.25-11.75 its vs 16.75 for the
+    best diagonal form (jphi s3c2) in the same run, MATCHING the
+    triangular form's exact-apply floor (11.25); the block-diagonal FORM
+    floor (18.8-22) is bypassed, not approached.  The triangular form is
+    deliberately NOT symmetrized: GMRES does not need symmetry, and the
+    reverse sweep would double the V-cycle cost for no measured gain
+    (phi-first beats ion-first 11.25 vs 14.0 — the drift coupling
+    ion<-phi is the strong direction).
 """
 from __future__ import annotations
 
@@ -296,7 +310,7 @@ class LatticeBlockPreconditioner:
 
         self.joint = None
         phi_fields = (N, 2 * N + 1)
-        if mode == "amg_phi":
+        if mode in ("amg_phi", "amg_gs"):
             J, _, _, _ = build_joint_phi(a, blocks[N], blocks[2 * N + 1],
                                          int(offs[N]), int(offs[2 * N + 1]))
             active_j = np.concatenate([a.intra_dofs_np,
@@ -360,6 +374,50 @@ class LatticeBlockPreconditioner:
                 outs_h.append(ph[:n]); outs_l.append(pl[:n])
             elif f == 2 * N + 1:
                 outs_h.append(ph[n:]); outs_l.append(pl[n:])
+            else:
+                outs_h.append(
+                    jax.lax.slice(zh, (slot * n,), ((slot + 1) * n,)))
+                outs_l.append(
+                    jax.lax.slice(zl, (slot * n,), ((slot + 1) * n,)))
+                slot += 1
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+    # -- phi-first Gauss-Seidel halves (pc_mode "amg_gs") --------------
+    def apply_df_part(self, rh, rl, part):
+        """Masked half-apply on lattice vectors: part='phi' runs only the
+        joint (phi_i, phi_e) hierarchy, part='ion' only the batched
+        concentration hierarchy; zeros elsewhere.  The solver composes the
+        triangular sweep with the step's own stencil matvec."""
+        assert self.joint is not None, "amg_gs needs the joint phi pair"
+        n, N = self.n_pts, self.N
+        zero = jnp.zeros((n,), dtype=rh.dtype)
+        if part == "phi":
+            lo_i, lo_e = N * n, (2 * N + 1) * n
+            jh = jnp.concatenate([jax.lax.slice(rh, (lo_i,), (lo_i + n,)),
+                                  jax.lax.slice(rh, (lo_e,), (lo_e + n,))])
+            jl = jnp.concatenate([jax.lax.slice(rl, (lo_i,), (lo_i + n,)),
+                                  jax.lax.slice(rl, (lo_e,), (lo_e + n,))])
+            ph, pl = self.joint.apply_df(jh, jl)
+            outs_h, outs_l = [], []
+            for f in range(self.nf):
+                if f == N:
+                    outs_h.append(ph[:n]); outs_l.append(pl[:n])
+                elif f == 2 * N + 1:
+                    outs_h.append(ph[n:]); outs_l.append(pl[n:])
+                else:
+                    outs_h.append(zero); outs_l.append(zero)
+            return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+        segs_h = [jax.lax.slice(rh, (f * n,), ((f + 1) * n,))
+                  for f in self.batch_fields]
+        segs_l = [jax.lax.slice(rl, (f * n,), ((f + 1) * n,))
+                  for f in self.batch_fields]
+        zh, zl = self.batched.apply_df(jnp.concatenate(segs_h),
+                                       jnp.concatenate(segs_l))
+        outs_h, outs_l = [], []
+        slot = 0
+        for f in range(self.nf):
+            if f in (N, 2 * N + 1):
+                outs_h.append(zero); outs_l.append(zero)
             else:
                 outs_h.append(
                     jax.lax.slice(zh, (slot * n,), ((slot + 1) * n,)))
@@ -479,16 +537,17 @@ class BlockDiagonalPreconditioner:
                 components=components, block_pairs=pairs, **jopts)
             return ("jphi", {"amg": amg, "ni": ni, "e_idx": 2 * N + 1})
 
+        self.phi_blocks = phi_blocks
         self.apply_blocks = []
         for i, b in enumerate(blocks):
             if mode == "dense" or (mode == "mixed" and i in phi_blocks):
                 self.apply_blocks.append(dense_of(i, b))
-            elif mode == "amg_phi" and i in phi_blocks:
+            elif mode in ("amg_phi", "amg_gs") and i in phi_blocks:
                 if i == N:
                     self.apply_blocks.append(jphi_of(b, blocks[2 * N + 1]))
                 else:
                     self.apply_blocks.append(("skip", None))
-            elif mode in ("amg", "amg_phi"):
+            elif mode in ("amg", "amg_phi", "amg_gs"):
                 # AMG V-cycle on every block: mesh-robust and O(n), the
                 # hypre-BoomerAMG equivalent (scales to 3D tissue meshes)
                 self.apply_blocks.append(amg_of(i, b))
@@ -582,6 +641,71 @@ class BlockDiagonalPreconditioner:
             sh = rh[self.offsets[i]:self.offsets[i + 1]]
             sl = rl[self.offsets[i]:self.offsets[i + 1]]
             if kind == "dense":
+                yh, yl = dense_mv_df(data.astype(jnp.float32), sh, sl)
+            elif kind == "amg":
+                yh, yl = data.apply_df(sh, sl)
+            elif kind == "jphi":
+                e = data["e_idx"]
+                eh = rh[self.offsets[e]:self.offsets[e + 1]]
+                el = rl[self.offsets[e]:self.offsets[e + 1]]
+                zh, zl = data["amg"].apply_df(
+                    jnp.concatenate([sh, eh]), jnp.concatenate([sl, el]))
+                ni = data["ni"]
+                yh, yl = zh[:ni], zl[:ni]
+                ze_h, ze_l = zh[ni:], zl[ni:]
+            elif kind == "skip":
+                yh, yl = ze_h, ze_l
+            else:
+                raise NotImplementedError(
+                    "df32 apply supports dense/amg block modes")
+            outs_h.append(yh)
+            outs_l.append(yl)
+        return jnp.concatenate(outs_h), jnp.concatenate(outs_l)
+
+    # -- phi-first Gauss-Seidel halves (pc_mode "amg_gs") --------------
+    # The solver composes z = z_phi + M_ion(r - A z_phi); this class only
+    # provides the two masked half-applies (zeros outside the part), so
+    # the per-apply cost of the triangular sweep is exactly one diagonal
+    # apply + one operator matvec.
+
+    def apply_part(self, r, part):
+        assert self.mode != "amg2", "amg_gs parts need per-block structure"
+        want_phi = part == "phi"
+        outs = []
+        z_e = None
+        for i, (kind, data) in enumerate(self.apply_blocks):
+            seg = r[self.offsets[i]:self.offsets[i + 1]]
+            if (i in self.phi_blocks) != want_phi:
+                outs.append(jnp.zeros_like(seg))
+            elif kind == "dense":
+                outs.append(data @ seg)
+            elif kind == "amg":
+                outs.append(data(seg))
+            elif kind == "jphi":
+                e = data["e_idx"]
+                r_e = r[self.offsets[e]:self.offsets[e + 1]]
+                z = data["amg"](jnp.concatenate([seg, r_e]))
+                outs.append(z[:data["ni"]])
+                z_e = z[data["ni"]:]
+            elif kind == "skip":
+                outs.append(z_e)
+            else:
+                outs.append(_chebyshev(data, seg))
+        return jnp.concatenate(outs)
+
+    def apply_df_part(self, rh, rl, part):
+        assert self.mode != "amg2", "amg_gs parts need per-block structure"
+        from knp_emi_cgx_tpu.solvers.df32 import dense_mv_df
+
+        want_phi = part == "phi"
+        outs_h, outs_l = [], []
+        ze_h = ze_l = None
+        for i, (kind, data) in enumerate(self.apply_blocks):
+            sh = rh[self.offsets[i]:self.offsets[i + 1]]
+            sl = rl[self.offsets[i]:self.offsets[i + 1]]
+            if (i in self.phi_blocks) != want_phi:
+                yh, yl = jnp.zeros_like(sh), jnp.zeros_like(sl)
+            elif kind == "dense":
                 yh, yl = dense_mv_df(data.astype(jnp.float32), sh, sl)
             elif kind == "amg":
                 yh, yl = data.apply_df(sh, sl)

@@ -277,6 +277,47 @@ def main():
     lu_block = spla.splu(P_block.tocsc())
     lu_jphi = spla.splu(P_jphi.tocsc())
 
+    # ---- block Gauss-Seidel (triangular) FORMS -----------------------
+    # The block-diagonal FORM floors at ~18.8 warm its (measured round 4
+    # session 2); the coupling it drops is the ion<->phi drift/flux
+    # off-diagonal blocks of A.  A triangular form keeps HALF of that
+    # coupling at the same apply cost family (forward substitution by
+    # field blocks).  P_tri = A0 masked to the field-block lower triangle
+    # under a chosen field ORDER, with the (phi_i, phi_e) pair kept as a
+    # full 2x2 diagonal block (membrane coupling, the jphi lesson).  Built
+    # ONCE from the step-1 operator (reassemble_P=False semantics).
+    A0 = traj[0]["A"].tocoo()
+    dof_field = np.full(a.n_dofs, -1, np.int32)
+    for f in range(a.nf):
+        act = np.nonzero(fd[f] >= 0)[0]
+        dof_field[fd[f, act]] = f
+    ions = [f for f in range(a.nf) if f not in (a.PHI_I, a.PHI_E)]
+
+    def tri_matrix(order_ranks):
+        rank = np.asarray(order_ranks, np.int32)[dof_field]
+        keep = rank[A0.row] >= rank[A0.col]
+        return sp.csr_matrix((A0.data[keep],
+                              (A0.row[keep], A0.col[keep])),
+                             shape=A0.shape)
+
+    ranks_ionfirst = np.zeros(a.nf, np.int32)   # ions 0.., phis last (==)
+    for j, f in enumerate(ions):
+        ranks_ionfirst[f] = j
+    ranks_ionfirst[a.PHI_I] = ranks_ionfirst[a.PHI_E] = len(ions)
+    ranks_phifirst = np.ones(a.nf, np.int32)    # phis first (==0)
+    ranks_phifirst[a.PHI_I] = ranks_phifirst[a.PHI_E] = 0
+    for j, f in enumerate(ions):
+        ranks_phifirst[f] = 1 + j
+    # phis first but SEQUENTIAL (phi_i, then phi_e seeing the membrane
+    # coupling one-way, then ions) — the form a per-field batched lattice
+    # hierarchy can realize without a joint (phi_i, phi_e) pair solve
+    ranks_phiseq = np.asarray(ranks_phifirst) + 1
+    ranks_phiseq[a.PHI_I] = 0
+    ranks_phiseq[a.PHI_E] = 1
+    lu_tri_ion = spla.splu(tri_matrix(ranks_ionfirst).tocsc())
+    lu_tri_phi = spla.splu(tri_matrix(ranks_phifirst).tocsc())
+    lu_tri_seq = spla.splu(tri_matrix(ranks_phiseq).tocsc())
+
     def amg_apply_of(Pm, cycles=1, smooth_iters=2, components=None,
                      block_pairs=None, per_component_lam=False,
                      cycle_damp=1.0, **kw):
@@ -301,6 +342,12 @@ def main():
     VARIANTS = {
         "block_exact": dict(M=lambda r: lu_block.solve(r), pred="lin"),
         "jphi_exact": dict(M=lambda r: lu_jphi.solve(r), pred="lin"),
+        "tri_ionfirst_exact": dict(M=lambda r: lu_tri_ion.solve(r),
+                                   pred="lin"),
+        "tri_phifirst_exact": dict(M=lambda r: lu_tri_phi.solve(r),
+                                   pred="lin"),
+        "tri_phiseq_exact": dict(M=lambda r: lu_tri_seq.solve(r),
+                                 pred="lin"),
         "block_exact_prev": dict(M=lambda r: lu_block.solve(r), pred="prev"),
         "block_exact_quad": dict(M=lambda r: lu_block.solve(r), pred="quad"),
         "jphi_exact_quad": dict(M=lambda r: lu_jphi.solve(r), pred="quad"),
@@ -336,15 +383,36 @@ def main():
             M=("amg", P_jphi, dict(components=comp, block_pairs=pairs,
                                    per_component_lam=True)), pred="lin",
             deflate=16),
+        # phi-first block Gauss-Seidel realizations: z_phi = M(r|phi),
+        # then ions see the drift coupling through the CURRENT step's A:
+        # z_ion = M((r - A z_phi)|ion).  One extra operator matvec per
+        # apply; M is the same block/jphi AMG, applied twice on masked
+        # vectors (block-diagonal by component, so masking selects the
+        # sub-apply).
+        "tri_amg": dict(
+            M=("gs", P_jphi, dict(components=comp, block_pairs=pairs,
+                                  per_component_lam=True)), pred="lin"),
+        "tri_amg_s3": dict(
+            M=("gs", P_jphi, dict(components=comp, block_pairs=pairs,
+                                  per_component_lam=True, smooth_iters=3)),
+            pred="lin"),
+        "tri_amg_s3c2": dict(
+            M=("gs", P_jphi, dict(components=comp, block_pairs=pairs,
+                                  per_component_lam=True, smooth_iters=3,
+                                  cycles=2)), pred="lin"),
     }
+    phi_mask = np.isin(dof_field, (a.PHI_I, a.PHI_E)).astype(np.float64)
+    ion_mask = 1.0 - phi_mask
     names = args.variants or list(VARIANTS)
 
     results = {}
     for name in names:
         v = VARIANTS[name]
         M = v["M"]
+        gs = False
         if isinstance(M, tuple):
-            _, Pm, kw = M
+            kind, Pm, kw = M
+            gs = kind == "gs"
             tic = time.perf_counter()
             M = amg_apply_of(Pm, **kw)
             print(f"[lab] {name}: AMG setup {time.perf_counter()-tic:.1f} s",
@@ -358,6 +426,13 @@ def main():
         for i, stp in enumerate(traj, start=1):
             A, bb = stp["A"], stp["b"]
             mv = lambda x: A @ x
+            if gs:
+                Mstep = (lambda Ak, Mb: lambda r: (
+                    lambda z1: z1 + ion_mask * Mb(
+                        (r - Ak @ z1) * ion_mask))(phi_mask * Mb(
+                            r * phi_mask)))(A, M)
+            else:
+                Mstep = M
             # predictor (solve() gate semantics: history = converged only)
             if pred == "prev" or len(xs) < 2:
                 x0 = xs[-1] if xs else np.zeros_like(bb)
@@ -366,7 +441,8 @@ def main():
             else:
                 x0 = 3.0 * xs[-1] - 3.0 * xs[-2] + xs[-3]
             x, its, relres, V, H = gmres_np(
-                mv, bb, x0, M, ns=ns, rtol=args.rtol, restart=args.restart,
+                mv, bb, x0, Mstep, ns=ns, rtol=args.rtol,
+                restart=args.restart,
                 deflate_U=U if defl_k else None,
                 deflate_AU=AU if defl_k else None)
             if relres > args.rtol * 1.5:
