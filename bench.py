@@ -62,6 +62,12 @@ WARM_START = os.environ.get("BENCH_WARM", "extrapolated")
 # ---------------------------------------------------------------------------
 
 def child_main(spec: str):
+    # if any device call wedges (axon client hang — observed: a transient
+    # tunnel glitch at client start wedges THAT client forever while new
+    # processes work fine), dump the stack so the parent's timeout log
+    # names the blocked call instead of "no progress output"
+    import faulthandler
+    faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
     point, steps = spec.split(":")
     n_mesh, n_cells = (int(v) for v in point.split("x"))
     steps = int(steps)
@@ -131,7 +137,9 @@ def child_main(spec: str):
     tic = time.perf_counter()
     mesh, tagger = generate_tissue_geometry(n_mesh, n_cells)
     mesh._facet_tagger = tagger
+    mark("mesh built")
     problem = ProblemKNPEMI(cfg, mesh=mesh, dtype=jnp.float32)
+    mark("problem built")
     problem.init_ionic_models(build_models(problem))
     solver = SolverKNPEMI(problem, cfg.solver_config)
     state = problem.initial_state()

@@ -243,7 +243,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                               coarse_on_device0: bool = False,
                               amg_shard_levels: int = 1,
                               return_system: bool = False,
-                              fem_order: int | None = None):
+                              fem_order: int | None = None,
+                              warm_start: str = "previous"):
     """Construct a KNP-EMI problem whose FULL timestep runs with dof-sharded
     state vectors over an `n_devices` mesh.  Returns
     (problem, state, step_fn, device_mesh, halo).
@@ -267,6 +268,14 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
     fem/p2.py — dofs partition over nodes instead of vertices; the halo /
     AMG / df32 machinery is order-agnostic since it consumes only the
     monolithic CSR graph).
+
+    warm_start: "previous" (PETSc non_zero_init_guess semantics,
+    KNPEMIx_solver.py:177-209) or "extrapolated" — the 2*x_k - x_{k-1}
+    predictor applied INSIDE the bound step (sharding-preserving
+    elementwise combine, no host readback), matching the unsharded
+    solver's warm_start option.  Measured ~3.7x warm-iteration cut at
+    603k dofs on the unsharded path (PERF.md); the sharded step gets the
+    identical iterates (tests/test_dof_sharded.py).
     """
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.mesh.generation import (generate_square_geometry,
@@ -375,7 +384,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
                                   matvec_A, mvA_arrays,
                                   rtol=rtol, restart=restart, axis=axis,
                                   df32=df32, ell_fn=ell_fn,
-                                  return_system=return_system)
+                                  return_system=return_system,
+                                  warm_start=warm_start)
 
     # pad + shard EVERYTHING: the warm-start vector over the dof layout,
     # the state fields over the vertex layout.  shard_global_array is the
@@ -417,7 +427,8 @@ def build_dof_sharded_problem(n_devices: int, devices=None, n_mesh: int = 12,
 def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
                         rtol: float, restart: int, axis: str,
                         df32: bool = False, ell_fn=None,
-                        return_system: bool = False):
+                        return_system: bool = False,
+                        warm_start: str = "previous"):
     from knp_emi_cgx_tpu.models.gating import (rush_larsen_update,
                                                forward_euler_update)
     from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
@@ -532,9 +543,27 @@ def _build_sharded_step(problem, pc, halo, device_mesh, matvec_A, mvA_arrays,
 
     jitted = jax.jit(step)
 
+    # in-step warm-start predictor (VERDICT r4 #5): g = 2*x_k - x_{k-1}
+    # from the last TWO CONVERGED solutions, computed on-device on the
+    # sharded [2, n] pair (elementwise combine — GSPMD preserves the dof
+    # sharding, no collective, no host readback).  Reuses the unsharded
+    # solver's WarmStartPredictor state machine (problems/knpemi.py),
+    # including its never-extrapolate-from-an-initial-guess gate; the step
+    # function itself is untouched, so "previous" runs are bit-identical
+    # to before.
+    predictor = None
+    if warm_start.startswith("extrapolated"):
+        from knp_emi_cgx_tpu.problems.knpemi import WarmStartPredictor
+
+        order = 2 if warm_start == "extrapolated2" else 1
+        predictor = WarmStartPredictor(df32_mode=df32, order=order)
+
     def bound_step(state):
+        if predictor is not None:
+            state = state._replace(x=predictor(state.x))
         return jitted(state, bundle)
 
+    bound_step.predictor = predictor
     bound_step.jitted = jitted
     bound_step.bundle = bundle
     bound_step.matvec_A = matvec_A

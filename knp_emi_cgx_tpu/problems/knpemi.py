@@ -1126,8 +1126,20 @@ class SolverKNPEMI:
         st = self._stencil
         if st is not None and x.shape[-1] == st.n_dofs:
             if self._inject_fn is None:
-                self._inject_fn = jax.jit(st.inject)
-            x = self._inject_fn(x)
+                # lat_of_dof is an ARGUMENT, not a closure constant: jitting
+                # the bound st.inject bakes the device index array into the
+                # HLO as an MLIR constant, and that lowering step READS THE
+                # ARRAY BACK to the host — a D2H that blocks for minutes to
+                # forever when the axon tunnel is in its degraded-transfer
+                # state (measured 170-580+ s for a SCALAR D2H, r5 session 1)
+                n_lat = st.n_lat
+
+                def _inject(x, lat_idx):
+                    out = jnp.zeros(x.shape[:-1] + (n_lat,), dtype=x.dtype)
+                    return out.at[..., lat_idx].set(x)
+
+                self._inject_fn = jax.jit(_inject)
+            x = self._inject_fn(x, st.lat_of_dof)
         if x is not state.x:
             state = state._replace(x=x)
         return state

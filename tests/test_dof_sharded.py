@@ -310,3 +310,63 @@ def test_dof_sharded_df32_production_tolerance():
     rel_step = np.linalg.norm(Mr_s) / np.linalg.norm(Mb_s)
     assert rel_step <= 2 * RTOL, \
         f"step-system real preconditioned residual {rel_step:.3e}"
+
+
+def test_dof_sharded_extrapolated_warm_start_matches_unsharded():
+    """warm_start="extrapolated" wired INSIDE the sharded bound step
+    (VERDICT r4 #5): per-step iteration counts match the unsharded solver
+    driven with the same WarmStartPredictor, and iterations from step 3 on
+    (when the predictor engages) do not exceed the "previous" warm start's.
+    Reference role: PETSc initial-guess reuse, KNPEMIx_solver.py:177-209 —
+    the sharded path must not regress it."""
+    from knp_emi_cgx_tpu.config import load_config
+    from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
+    from knp_emi_cgx_tpu.models.ionic import (HodgkinHuxley, ATPPump,
+                                              NeuronalCotransporters)
+    from knp_emi_cgx_tpu.problems.knpemi import ProblemKNPEMI, SolverKNPEMI
+
+    cpu = jax.devices("cpu")
+    n_steps = 5
+
+    def run_sharded(warm):
+        p, s, step, _, _halo = build_dof_sharded_problem(
+            8, devices=cpu, n_mesh=12, rtol=1e-10, warm_start=warm)
+        its = []
+        for _ in range(n_steps):
+            s, it = step(s)
+            its.append(int(it))
+        return p, s, its
+
+    p_ex, s_ex, its_ex = run_sharded("extrapolated")
+    _, _, its_prev = run_sharded("previous")
+
+    cfg = load_config("configs/tests/golden_parity.yaml")
+    cfg.solver_config = {"direct": False,
+                         "ksp_settings": {"ksp_rtol": 1e-10,
+                                          "pc_mode": "chebyshev",
+                                          "warm_start": "extrapolated"}}
+    mesh, tagger = generate_square_geometry(12)
+    mesh._facet_tagger = tagger
+    problem = ProblemKNPEMI(cfg, mesh=mesh)
+    problem.init_ionic_models(
+        [NeuronalCotransporters(), HodgkinHuxley(), ATPPump()])
+    solver = SolverKNPEMI(problem, cfg.solver_config)
+    state = problem.initial_state()
+    step = solver._build_step(state)
+    predictor = solver.warm_predictor()
+    its_ref = []
+    for _ in range(n_steps):
+        state = state._replace(x=predictor(state.x))
+        state, it = step(state)
+        its_ref.append(int(it))
+
+    # same Krylov trajectory as the unsharded extrapolated solver
+    assert its_ex == its_ref, (its_ex, its_ref)
+    # the predictor engages at step 3; from there it must not lose to the
+    # plain previous-solution warm start
+    assert all(e <= p for e, p in zip(its_ex[2:], its_prev[2:])), \
+        (its_ex, its_prev)
+    # and the solution still matches the unsharded one
+    u_sh = unpad_vertex_fields(p_ex, s_ex.u)
+    np.testing.assert_allclose(u_sh, np.asarray(state.u),
+                               rtol=1e-7, atol=1e-11)
