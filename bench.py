@@ -127,7 +127,9 @@ def child_main(spec: str):
     # for the f32-only TPU tensor path and just triples CPU compile time)
     ksp = {"ksp_rtol": RTOL, "pc_mode": PC_MODE,
            "precision": "f64" if on_cpu else "df32",
-           "warm_start": WARM_START, "setup_cache": True}
+           "warm_start": WARM_START, "setup_cache": True,
+           "df_dots": os.environ.get("BENCH_DOTS", "auto"),
+           "restart": int(os.environ.get("BENCH_RESTART", "30"))}
     if split:
         ksp.update(split_step=True, launch_outer=2)
     cfg.solver_config = {"direct": False, "ksp_settings": ksp}

@@ -551,6 +551,14 @@ class SolverKNPEMI:
         #   "stencil" — require the stencil (error on unstructured meshes)
         #   "ell"     — force the gather ELL path
         self.matvec_mode = str(ksp.get("matvec", "auto"))
+        # df_dots: Gram-Schmidt reduction implementation for the df32
+        # Krylov ("auto" | "tree" | "f64sum" | "radix", solvers/df32.py).
+        # The f64 one-reduce variants replace the ~17-stage halving trees
+        # that dominated the measured GMRES iteration cost on the axon
+        # TPU (82.6 -> ~5 ms/iteration, 1.86 -> 0.22 s/step at 24^3 —
+        # r5 bench A/B); "auto" picks f64sum below the emulated-f64
+        # tensor-size limit and the radix lane-fold variant above it.
+        self.df_dots = str(ksp.get("df_dots", "auto"))
         self.mixed_precision = self.precision == "f64"
         if self.pc_mode == "amg_gs" and self.mixed_precision:
             raise ValueError(
@@ -831,7 +839,7 @@ class SolverKNPEMI:
                         mv_df, b_s, state.x[0], state.x[1],
                         M=M,
                         nullspace_df=bundle.get("ns_df"),
-                        rtol=rtol, restart=restart)
+                        rtol=rtol, restart=restart, dots=self.df_dots)
                     x = jnp.stack([res.xh, res.xl])
                     its = res.iterations
                 elif mixed_precision:
@@ -995,7 +1003,8 @@ class SolverKNPEMI:
                     mv_df, b, x[0], x[1],
                     M=M,
                     nullspace_df=bundle.get("ns_df"),
-                    rtol=rtol, restart=restart, **kwargs)
+                    rtol=rtol, restart=restart, dots=self.df_dots,
+                    **kwargs)
                 return jnp.stack([res.xh, res.xl]), res.iterations
             finally:
                 _uninstall_op(old_op)

@@ -180,6 +180,60 @@ def df_norm(xh, xl):
 
 
 # ----------------------------------------------------------------------
+# f64-reduce variants of the Gram-Schmidt kernels (r5 perf).
+#
+# The halving-tree df_sum issues ~17 sequential elementwise stages over
+# the [restart+1, n] Arnoldi basis; the r4 bench decomposition measured
+# the resulting CGS2 cost at ~80 of the 82.6 ms GMRES iteration at 24^3
+# tissue (output/tpu_kernel_probe_24x8.json).  These variants compute the
+# SAME exact f32 elementwise products (two_prod — the compensation lives
+# there) and then promote to emulated f64 for ONE native XLA reduce;
+# accuracy is measurably BETTER than the tree (~1e-15 vs 2.6e-15 rel on
+# random [31, 20k]).  The "radix" rows variant first folds the 128-lane
+# axis with a short df tree so the f64 intermediate is n/128-sized —
+# large-mesh safe (emulated-f64 tensors fault above ~3e7 elements on the
+# axon runtime, STATUS gotcha 4).
+# ----------------------------------------------------------------------
+
+def df_dot_f64sum(xh, xl, yh, yl):
+    """Compensated inner product via exact products + one f64 reduce."""
+    p, pe = two_prod(xh, yh)
+    pe = pe + (xh * yl + xl * yh)
+    return (p.astype(jnp.float64) + pe.astype(jnp.float64)).sum()
+
+
+def df_matvec_rows_f64sum(Mh, Ml, xh, xl):
+    """[k, n] df32 x [n] df32 -> [k] f64 via one f64 reduce."""
+    p, pe = two_prod(Mh, xh[None, :])
+    pe = pe + (Mh * xl[None, :] + Ml * xh[None, :])
+    return (p.astype(jnp.float64) + pe.astype(jnp.float64)).sum(axis=1)
+
+
+def df_matvec_rows_radix(Mh, Ml, xh, xl):
+    """[k, n] df32 x [n] df32 -> [k] f64; df tree over 128 lanes first so
+    the f64 intermediate is [k, n/128] (large-mesh safe)."""
+    k, n = Mh.shape
+    r = 128
+    m = -(-n // r)
+    p, pe = two_prod(Mh, xh[None, :])
+    pe = pe + (Mh * xl[None, :] + Ml * xh[None, :])
+    h, l = fast_two_sum(p, pe)
+    if m * r != n:
+        h = jnp.pad(h, ((0, 0), (0, m * r - n)))
+        l = jnp.pad(l, ((0, 0), (0, m * r - n)))
+    sh, sl = df_sum(h.reshape(k, m, r), l.reshape(k, m, r), axis=2)
+    return (sh.astype(jnp.float64) + sl.astype(jnp.float64)).sum(axis=1)
+
+
+def df_vecmat_f64sum(ch, cl, Mh, Ml):
+    """[k] df32 x [k, n] df32 -> [n] df32 via one f64 reduce over k."""
+    ph, pl = df_mul(jnp.broadcast_to(ch[:, None], Mh.shape),
+                    jnp.broadcast_to(cl[:, None], Mh.shape), Mh, Ml)
+    s = (ph.astype(jnp.float64) + pl.astype(jnp.float64)).sum(axis=0)
+    return df_from_f64(s)
+
+
+# ----------------------------------------------------------------------
 # Blocked (sharding-friendly) reductions.  A flat df_sum tree halves the
 # vector axis step by step — on a dof-sharded vector every halving is a
 # cross-device shuffle.  The blocked variants reduce WITHIN each device
@@ -352,7 +406,8 @@ def gmres_df32(matvec_df, b, x0h, x0l,
                rtol: float = 1e-9,
                restart: int = 30,
                max_outer: int = 50,
-               n_blocks: int | None = None):
+               n_blocks: int | None = None,
+               dots: str = "tree"):
     """Restarted left-preconditioned GMRES with df32 vectors and f64 scalar
     bookkeeping — certifies production tolerances (rtol 1e-9) with pure f32
     tensor ops on TPU.
@@ -382,14 +437,41 @@ def gmres_df32(matvec_df, b, x0h, x0l,
     f64 = jnp.float64
     n = b.shape[0]
 
-    if n_blocks is None:
-        dot = df_dot
-        mv_rows = df_matvec_rows
-    else:
+    vecmat = df_vecmat
+    if dots == "auto":
+        # f64sum measured 8.4x faster per step than the tree on the axon
+        # v5e (0.22 vs 1.86 s/step at 24^3 tissue, identical iteration
+        # counts — BENCH r5 A/B); its [restart+1, n] f64 intermediates
+        # are safe below the ~3e7-element emulated-f64 runtime limit
+        # (gotcha 4), above which the lane-folding radix variant keeps
+        # the f64 tensors at n/128
+        # threshold from r5 on-chip A/B: [31, 125k] = 3.9M f64 reduce is
+        # fast (~5 ms/GMRES-iter total), [31, 405k] = 12.6M already falls
+        # into the slow emulated-f64 regime (0.28 s/iter measured at
+        # 36^3x100c) — switch to the lane-folding radix form early
+        dots = "f64sum" if (restart + 1) * n < 6_000_000 else "radix"
+    if n_blocks is not None:
+        # dof-sharded: block-local trees (communication-optimal; the f64
+        # variants would shuffle across devices inside the reduce)
         dot = lambda ah, al, bh_, bl_: df_dot_blocked(ah, al, bh_, bl_,
                                                       n_blocks)
         mv_rows = lambda Mh, Ml, wh, wl: df_matvec_rows_blocked(
             Mh, Ml, wh, wl, n_blocks)
+    elif dots == "f64sum":
+        # one native f64 reduce instead of ~17 sequential tree stages —
+        # the r5 TPU fix for the 80 ms CGS2 cost (see variant docstrings)
+        dot = df_dot_f64sum
+        mv_rows = df_matvec_rows_f64sum
+        vecmat = df_vecmat_f64sum
+    elif dots == "radix":
+        # large-mesh-safe: f64 intermediates capped at n/128 elements
+        dot = df_dot_f64sum
+        mv_rows = df_matvec_rows_radix
+    elif dots == "tree":
+        dot = df_dot
+        mv_rows = df_matvec_rows
+    else:
+        raise ValueError(f"gmres_df32: unknown dots impl '{dots}'")
 
     def proj(vh, vl):
         if nullspace_df is None:
@@ -443,7 +525,7 @@ def gmres_df32(matvec_df, b, x0h, x0l,
             for _pass in range(2):
                 c = mv_rows(Vh, Vl, wh, wl) * active
                 ch, cl = df_from_f64(-c)
-                uh, ul = df_vecmat(ch, cl, Vh, Vl)
+                uh, ul = vecmat(ch, cl, Vh, Vl)
                 wh, wl = df_add(wh, wl, uh, ul)
                 hcol = hcol + c
             hj1 = jnp.sqrt(dot(wh, wl, wh, wl))
@@ -497,7 +579,7 @@ def gmres_df32(matvec_df, b, x0h, x0l,
                               jnp.zeros(restart, dtype=f64))
 
         yh, yl = df_from_f64(y)          # inactive entries are exactly 0
-        uh, ul = df_vecmat(yh, yl, Vh[:restart], Vl[:restart])
+        uh, ul = vecmat(yh, yl, Vh[:restart], Vl[:restart])
         xh, xl = df_add(xh, xl, uh, ul)
         return xh, xl, res, j
 

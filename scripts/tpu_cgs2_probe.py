@@ -74,25 +74,27 @@ def fence(x):
 
 
 def slope(f, args, k1=8, k2=40):
-    # K-rep inside one launch over a dummy carry to difference out
-    # launch/D2H overhead; the kernel output feeds the carry so reps
-    # cannot be optimized away
-    def mk(K):
-        def body(i, c):
-            out = f(*args)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return c + leaf.ravel()[0].astype(jnp.float32)
+    # K-rep inside one launch; the kernel output PERTURBS the first
+    # vector argument each rep, so the call cannot be loop-invariant-
+    # hoisted out of the fori_loop (the first version of this probe was,
+    # and measured ~0 ms for every variant)
+    vec0 = args[-2]
 
-        return jax.jit(lambda: jax.lax.fori_loop(0, K, body,
-                                                 jnp.float32(0.0)))
+    def mk(K):
+        def body(i, v):
+            out = f(*args[:-2], v, args[-1])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return v + (leaf.ravel()[0] * 1e-30).astype(v.dtype)
+
+        return jax.jit(lambda v: jax.lax.fori_loop(0, K, body, v))
 
     f1, f2 = mk(k1), mk(k2)
-    fence(f1()); fence(f2())   # compile
+    fence(f1(vec0)); fence(f2(vec0))   # compile
     ts1, ts2 = [], []
     for _ in range(3):
-        tic = time.perf_counter(); fence(f1())
+        tic = time.perf_counter(); fence(f1(vec0))
         ts1.append(time.perf_counter() - tic)
-        tic = time.perf_counter(); fence(f2())
+        tic = time.perf_counter(); fence(f2(vec0))
         ts2.append(time.perf_counter() - tic)
     return (min(ts2) - min(ts1)) / (k2 - k1)
 

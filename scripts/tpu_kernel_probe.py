@@ -86,7 +86,9 @@ def main():
     cfg.solver_config = {"direct": False, "ksp_settings": {
         "ksp_rtol": 1e-9, "pc_mode": pc_mode, "precision": "df32",
         "warm_start": "extrapolated", "setup_cache": True,
-        "split_step": True, "launch_outer": 2}}
+        "split_step": True, "launch_outer": 2,
+        "df_dots": os.environ.get("BENCH_DOTS", "tree"),
+        "restart": int(os.environ.get("BENCH_RESTART", "30"))}}
 
     print(f"[probe] building {point} pc={pc_mode}", flush=True)
     tic = time.perf_counter()
@@ -170,11 +172,32 @@ def main():
           f"S={out['stage_solve_launch_s']} C={out['stage_scatter_s']}",
           flush=True)
 
-    # component kernels via K-slope: matvec, pc apply
+    # gating-sweep cost (pure elementwise, safe to jit standalone): the
+    # rest of stage_assemble is element assembly + value refresh
     a = problem.assembler
+    from knp_emi_cgx_tpu.models.gating import rush_larsen_update
+    from knp_emi_cgx_tpu.models.ionic import HodgkinHuxley
+    hh = next((m for m in problem.ionic_models
+               if isinstance(m, HodgkinHuxley)), None)
+    if hh is not None:
+        dt_ode = problem.params.dt / hh.time_steps_ode
+        jg = jax.jit(lambda n_, m_, h_, pm: rush_larsen_update(
+            n_, m_, h_, pm, problem.params.phi_rest, dt_ode,
+            hh.time_steps_ode))
+        g0 = jg(cur.n, cur.m, cur.h, cur.phi_m)
+        float(jnp.max(jnp.abs(g0[0])))
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            g0 = jg(cur.n, cur.m, cur.h, cur.phi_m)
+            float(jnp.max(jnp.abs(g0[0])))
+            ts.append(time.perf_counter() - t1)
+        out["gating_sweep_s"] = round(min(ts), 4)
+        print(f"[probe] gating_sweep={out['gating_sweep_s']}", flush=True)
+
     if stencil is not None:
-        vals, bb = a.assemble(cur.u, cur.phi_m,
-                              {"n": cur.n, "m": cur.m, "h": cur.h},
+        gates = {"n": cur.n, "m": cur.m, "h": cur.h}
+        vals, bb = a.assemble(cur.u, cur.phi_m, gates,
                               cur.t + problem.params.dt)
         dgh, lo_rows = stencil.repaired_diag_values(vals)
         xh = x1[0]

@@ -11,6 +11,7 @@ Checks:
     iteration-count regression
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from knp_emi_cgx_tpu.config import load_config
@@ -75,6 +76,8 @@ def test_vcycle_contracts_block_error():
     assert np.all(y[mask] == 0.0)
 
 
+@pytest.mark.slow   # 178 s on the 1-core host; fast-lane lattice-AMG
+# coverage: test_vcycle_contracts_block_error + deflation exactness (9 s)
 def test_lattice_pc_solve_matches_wrapped_amg():
     def run(force_ell_pc):
         cfg, problem = _square_problem(16)

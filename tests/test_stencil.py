@@ -160,6 +160,8 @@ def _solve(warm, matvec, steps=3):
     return solver, state
 
 
+@pytest.mark.slow   # 135 s on the 1-core host; fast-lane coverage of the
+# stencil operator lives in test_stencil_matvec_matches_ell (4 s)
 @pytest.mark.parametrize("split", [False])
 def test_end_to_end_stencil_matches_ell(split):
     s_ell, st_ell = _solve("previous", "ell")
@@ -173,6 +175,8 @@ def test_end_to_end_stencil_matches_ell(split):
         s_st.iterations, s_ell.iterations)
 
 
+@pytest.mark.slow   # 182 s on the 1-core host; the fast lane covers
+# split==fused on the square lattice via tests/test_amg_gs.py
 def test_split_step_stencil_matches_fused():
     cfg, problem = _square_problem()
     ksp = {"ksp_rtol": 1e-9, "pc_mode": "amg", "precision": "df32",
