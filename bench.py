@@ -76,10 +76,11 @@ def child_main(spec: str):
     warmup = 3
     on_cpu = os.environ.get("BENCH_DEVICE") == "cpu"
     # BENCH_SCAN=K: pack K steps per launch via lax.scan (fused step, no
-    # split).  Per-launch host<->device round-trips through the tunnel
-    # cost ~30 ms each and the split step takes ~8 of them per step —
-    # measured 0.574 s/step at 24^3 where the compute itself is ~10x less.
-    # Packing amortizes that K-fold; the whole chunk is ONE launch.
+    # split).  Kept ONLY for A/B re-runs: the r5 execution-forced A/B
+    # measured the fused scan program ~9x SLOWER than the split step at
+    # 24^3 (16.3 vs 1.86 s/step, same math, same iterations) — the old
+    # "0.574 s/step split" number that motivated scan mode was a fiction
+    # of the no-op block_until_ready fence (STATUS r5).
     scan_k = int(os.environ.get("BENCH_SCAN", "0"))
 
     import jax

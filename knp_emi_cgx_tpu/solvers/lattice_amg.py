@@ -214,13 +214,35 @@ class LatticeAMG:
             np.isin(np.arange(n_pts), active).astype(np.float32))
 
         self.W = self.Gp = None
+        self.defl_lab = self.Gp64 = None
+        self.defl_k = 0
         if deflate is not None and len(deflate):
             Z = np.asarray(deflate, dtype=np.float64)
             assert Z.shape[1] == n_pts
             G = Z @ (A @ Z.T)
             Gp = np.linalg.pinv(G, rcond=1e-10)
-            self.W = jnp.asarray(Z.astype(np.float32))
-            self.Gp = jnp.asarray(Gp.astype(np.float32))
+            vals = Z[Z != 0]
+            if ((Z != 0).sum(axis=0).max() <= 1
+                    and np.all(vals == 1.0)):
+                # the production case: rows are DISJOINT 0/1 compartment
+                # indicators, so Z^T r is a segment_sum over a label
+                # vector and Z t is a gather — O(n) instead of the dense
+                # [k, n] masked matmuls, whose 164 MB W at 36^3x100c made
+                # each apply 243 ms (r5 kernel probe; 2.25 ms at 24^3x8c
+                # where W was 4.5 MB).  The correction runs in f64
+                # (vectors of size n only — elementwise + one small
+                # segment reduce, well under the emulated-f64 limits) so
+                # it stays exact to the df budget.
+                k = Z.shape[0]
+                lab = np.full(n_pts, k, dtype=np.int32)
+                rows, cols = np.nonzero(Z)
+                lab[cols] = rows.astype(np.int32)
+                self.defl_lab = jnp.asarray(lab)
+                self.defl_k = k
+                self.Gp64 = jnp.asarray(Gp)          # [k, k] f64
+            else:
+                self.W = jnp.asarray(Z.astype(np.float32))
+                self.Gp = jnp.asarray(Gp.astype(np.float32))
 
         if per_field_lam and (pair_smooth or n_fields < 2):
             raise ValueError("per_field_lam needs n_fields > 1, no pairs")
@@ -281,6 +303,7 @@ class LatticeAMG:
         return {"coarse_inv": self.coarse_inv,
                 "active_mask": self.active_mask,
                 "W": self.W, "Gp": self.Gp,
+                "defl_lab": self.defl_lab, "Gp64": self.Gp64,
                 "levels": [{k: getattr(lv, k) for k in _Level.ARRAYS}
                            for lv in self.levels]}
 
@@ -289,6 +312,7 @@ class LatticeAMG:
         self.coarse_inv = st["coarse_inv"]
         self.active_mask = st["active_mask"]
         self.W, self.Gp = st["W"], st["Gp"]
+        self.defl_lab, self.Gp64 = st["defl_lab"], st["Gp64"]
         for lv, d in zip(self.levels, st["levels"]):
             for k, v in d.items():
                 setattr(lv, k, v)
@@ -351,14 +375,26 @@ class LatticeAMG:
         return self._smooth_df(lv, xh, xl, bh, bl)
 
     def _apply_once_df(self, rh, rl):
-        if self.W is None:
+        if self.W is None and self.defl_lab is None:
             return self._cycle_df(0, rh, rl)
         # exact near-kernel correction, then V-cycle on the deflated
         # residual: x = Z Gp Z^T r + V(r - A Z Gp Z^T r)
-        sh, sl = dense_mv_df(self.W, rh, rl)          # Z^T r   [k]
-        th, tl = dense_mv_df(self.Gp, sh, sl)         # Gp s    [k]
-        ph, pl = df_scale_f32(th[:, None], tl[:, None], self.W)
-        x1h, x1l = df_sum(ph, pl, axis=0)             # Z t     [n]
+        if self.defl_lab is not None:
+            # disjoint 0/1 indicator rows: Z^T r = segment_sum by label,
+            # Z t = gather — O(n), exact in f64
+            r64 = rh.astype(jnp.float64) + rl.astype(jnp.float64)
+            s = jax.ops.segment_sum(r64, self.defl_lab,
+                                    num_segments=self.defl_k + 1)
+            t = self.Gp64 @ s[:self.defl_k]           # [k] f64
+            x1 = jnp.concatenate([t, jnp.zeros((1,), t.dtype)])
+            x1 = x1[self.defl_lab]                    # Z t     [n]
+            x1h = x1.astype(jnp.float32)
+            x1l = (x1 - x1h.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            sh, sl = dense_mv_df(self.W, rh, rl)      # Z^T r   [k]
+            th, tl = dense_mv_df(self.Gp, sh, sl)     # Gp s    [k]
+            ph, pl = df_scale_f32(th[:, None], tl[:, None], self.W)
+            x1h, x1l = df_sum(ph, pl, axis=0)         # Z t     [n]
         yh, yl = self._mv(self.levels[0], x1h, x1l)
         r2h, r2l = df_add(rh, rl, -yh, -yl)
         x2h, x2l = self._cycle_df(0, r2h, r2l)
