@@ -14,6 +14,7 @@ Reference anchor: the preconditioner-robustness role of the BoomerAMG
 block preconditioner, tests/KNPEMI/electric_potential_norms_iterative_solver.py.
 """
 import numpy as np
+import pytest
 
 from knp_emi_cgx_tpu.config import load_config
 from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
@@ -63,6 +64,7 @@ def test_amg_gs_plain_f32_matches_amg_phi():
     _check("amg_phi", "f32", 1e-5, atol_rel=3e-5)
 
 
+@pytest.mark.slow   # 177 s: two df32 rtol-1e-9 solves; plain-f32 test covers the halves fast
 def test_amg_gs_df32_lattice_matches_amg_phi():
     # fused df32 path on the square LATTICE: stencil matvec engaged, so
     # the halves are LatticeBlockPreconditioner.apply_df_part — the
@@ -71,6 +73,7 @@ def test_amg_gs_df32_lattice_matches_amg_phi():
     assert s_gs._pc_lattice, "square mesh must engage the lattice pc"
 
 
+@pytest.mark.slow   # two more df32 solve compiles; fused-vs-split parity
 def test_amg_gs_split_step_df32_matches_fused():
     # split-step df32 (three-program) amg_gs == fused amg_gs solutions
     s_f, st_f = _run("amg_gs", "df32", 1e-9, split=False)

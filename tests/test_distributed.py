@@ -2,6 +2,7 @@
 launch path, tested in its single-process degenerate form plus the
 per-process halo bookkeeping invariants (VERDICT r1 #6; SURVEY §5.8)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,6 +50,7 @@ def test_env_driven_config(monkeypatch):
     assert (idx, count) == (0, 1)
 
 
+@pytest.mark.slow   # 56 s: spawns 2 jax.distributed processes
 def test_two_process_dof_sharded_step(tmp_path):
     """A REAL 2-process jax.distributed run (VERDICT r2 #4): two
     subprocesses (localhost coordinator, 4 virtual CPU devices each) run

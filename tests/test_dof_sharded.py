@@ -3,6 +3,7 @@ across 8 virtual devices with ppermute-halo SpMV, psum dots and a sharded
 block preconditioner (VERDICT r1 #2; reference KNPEMIx_solver.py:435-468
 PETSc distributed solve + ghost updates)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -179,6 +180,7 @@ def test_vertex_partition_covers_all_dofs():
     assert counts.min() > 0
 
 
+@pytest.mark.slow   # 158 s on 1-core host; per-call matvec bitwise parity
 def test_precomputed_repaired_ell_matvec_bitwise():
     """The hoisted system matvec (make_ell_df_fn + make_matvec_df_ell_fn —
     value gather and nullspace-repair row sums computed once per assembled

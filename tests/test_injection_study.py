@@ -38,6 +38,7 @@ def _expected_rate_mol_per_s(problem, field):
     return float((vols[ecs] * cv.mean(axis=1)).sum())
 
 
+@pytest.mark.slow   # 47 s: refined-mesh solve study
 def test_injection_budget_base_and_refined():
     from knp_emi_cgx_tpu.config import load_config
     from knp_emi_cgx_tpu.mesh.generation import geometry_from_spec

@@ -168,6 +168,12 @@ def test_df32_certifies_production_rtol():
                                 new_state)
     x64 = (new_state.x[0].astype(jnp.float64)
            + new_state.x[1].astype(jnp.float64))
+    if solver._stencil is not None:
+        # the square mesh is a lattice, so the r4 stencil operator keeps
+        # the Krylov carry in the UNCOMPACTED lattice layout [nf * n_pts]
+        # (ops/stencil.py); compact it back to dof order before scoring
+        # against the CSR operator
+        x64 = x64[solver._stencil.lat_of_dof_np]
     pc64 = BlockDiagonalPreconditioner(a, problem._u0_np, mode="amg",
                                        dtype=jnp.float64)
     rel = _precond_residual(a, pc64, vals64, b, x64)
