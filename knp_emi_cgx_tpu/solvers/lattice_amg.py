@@ -67,11 +67,20 @@ class _Level:
                  "stack", "dinv", "w1", "w2", "wt", "has_P", "n")
 
     def __init__(self, A, dims, cdims, lam, omega, has_P, factors=None,
-                 pair_stride=None):
+                 pair_stride=None, dia=True):
         """lam: lambda_max(Binv A) — a scalar, or a per-dof vector when the
         operator is block-diagonal over fields with different spectral
-        scales (per-field bounds; constant within each field segment)."""
-        offs, stack_np = bucket_offsets(A)
+        scales (per-field bounds; constant within each field segment).
+
+        dia=False: coarsest-marker level whose operator outgrew the DIA
+        offset cap — only the dense coarse inverse is ever applied to it
+        (see the overflow break in LatticeAMG.__init__), so the stack is
+        left empty."""
+        if dia:
+            offs, stack_np = bucket_offsets(A)
+        else:
+            offs = np.zeros(0, dtype=np.int64)
+            stack_np = np.zeros((0, A.shape[0]), dtype=np.float32)
         self.n = A.shape[0]
         self.dims = dims
         self.cdims = cdims
@@ -274,9 +283,21 @@ class LatticeAMG:
                                           pair_stride=ps))
                 break
             agg, cdims = _block_agg(dims, factors)
-            self.levels.append(_Level(A, dims, cdims, lam, omega,
-                                      has_P=True, factors=factors,
-                                      pair_stride=ps))
+            try:
+                lv = _Level(A, dims, cdims, lam, omega, has_P=True,
+                            factors=factors, pair_stride=ps)
+            except ValueError:
+                # Galerkin fill-in outgrew the DIA offset cap (observed:
+                # the joint phi pair at 36^3x100c reaches 741 offsets at
+                # the 2x10^3 level).  Stop coarsening and solve this
+                # level densely — but only while that is affordable.
+                if n_act > 8000:   # dense inverse beyond this is not
+                    raise          # affordable (n^2 storage, n^3 factor)
+                self.levels.append(_Level(A, dims, dims, lam, omega,
+                                          has_P=False, factors=factors,
+                                          pair_stride=ps, dia=False))
+                break
+            self.levels.append(lv)
             P0 = sp.csr_matrix(
                 (np.ones(A.shape[0]), (np.arange(A.shape[0]), agg)),
                 shape=(A.shape[0], int(np.prod(cdims))))
