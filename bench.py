@@ -330,11 +330,13 @@ def density(res):
 def main():
     t0 = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-    # headline point: the largest validated sustained point, 36^3 x 100
-    # cells = 254k dofs (VERDICT r4 weak #5: benching at 24^3 measures
-    # launch overhead against a ~1e6-dof baseline; the 24^3 point stays
-    # as the small-size probe below)
-    primary = os.environ.get("BENCH_POINT", "36x100")
+    # headline point: the largest validated sustained point — 48^3 x 100
+    # cells = 602,800 dofs, the reference production configs' scale
+    # (r5: the old ~3e5-dof runtime ceiling is gone under per-step
+    # fencing; output/tpu_probe notes + /tmp/ab_48 run: 7.0-9.3 s/step,
+    # its 42->28 over 5 cold-start steps).  The ladder below steps down
+    # to 36x100 / 24x8 if the chip session can't sustain it.
+    primary = os.environ.get("BENCH_POINT", "48x100")
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     probe = os.environ.get("BENCH_SCALE_PROBE", "24x8")
     CPU_RESERVE = 400.0      # always leave room for the CPU fallback point
@@ -368,13 +370,22 @@ def main():
     if alive:
         # the ~20-min step compile is amortized by the persistent XLA
         # cache (.xla_cache) — a warm round replays it in seconds; a cold
-        # round needs the full child budget.
-        headline, err = run_point(f"{primary}:{steps}",
-                                  max(300.0, left() - CPU_RESERVE),
-                                  scan=scan_k)
-        if headline is None:
+        # round needs the full child budget.  Point ladder: try the
+        # largest validated point first, step down on failure (a degraded
+        # chip session should yield the next-size honest number, not the
+        # CPU fallback).
+        ladder = [primary] + [p for p in ("36x100", "24x8")
+                              if p != primary]
+        for pt in ladder:
+            headline, err = run_point(f"{pt}:{steps}",
+                                      max(300.0, left() - CPU_RESERVE),
+                                      scan=scan_k)
+            if headline is not None:
+                break
             mode = f"scan-{scan_k}" if scan_k else "split"
-            notes.append(f"primary {primary} ({mode}) failed: {err}")
+            notes.append(f"point {pt} ({mode}) failed: {err}")
+            if left() < 600 + CPU_RESERVE:
+                break
     else:
         notes.append("TPU unresponsive at liveness check (compute hangs; "
                      "device listing ok) — measuring on host CPU instead")
