@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.mark.slow   # 83 s; the driver executes dryrun_multichip separately every round
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

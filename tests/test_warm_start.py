@@ -10,6 +10,7 @@ residual at rtol) is unchanged, so correctness is guaranteed by the solver,
 not the guess.
 """
 import numpy as np
+import pytest
 
 from knp_emi_cgx_tpu.config import load_config
 from knp_emi_cgx_tpu.mesh.generation import generate_square_geometry
@@ -39,6 +40,7 @@ def _run(warm_start, precision="df32"):
     return solver, state
 
 
+@pytest.mark.slow   # 3 full df32 solve compiles; sharding-preservation test stays fast
 def test_extrapolated_matches_previous_and_cuts_iterations():
     s_prev, st_prev = _run("previous")
     s_ext, st_ext = _run("extrapolated")
@@ -96,6 +98,7 @@ def test_extrapolator_preserves_sharding():
                                rtol=1e-14, atol=1e-15)
 
 
+@pytest.mark.slow   # two more df32 compiles (solve + scan)
 def test_extrapolated_scan_matches_python_loop():
     cfg = load_config("configs/tests/golden_parity.yaml")
     cfg.time_steps = N_STEPS
